@@ -1,0 +1,83 @@
+"""Device-mesh sharding for the stencil system.
+
+The voxel grid is decomposed into z-slabs (and optionally y-columns) over a
+``jax.sharding.Mesh``; every field and coefficient array is placed with a
+``NamedSharding`` whose last three dims map to (z, y, x-replicated).  Under
+``jit`` the XLA SPMD partitioner then turns the stencil shifts along
+sharded axes into halo collective-permutes over ICI and the solver's dot
+products into fused psum all-reduces — the reference has no distribution
+at all (single-threaded Fortran), so this layer is pure new capability.
+
+x stays unsharded: it is the minor (lane) dimension and halo exchange along
+lanes would be pathological.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "grid_sharding", "shard_system", "shard_state", "replicated"]
+
+
+def make_mesh(n_z: int | None = None, n_y: int = 1, devices=None) -> Mesh:
+    """A (z, y) mesh over the available devices; z gets all devices by
+    default."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_z is None:
+        n_z = devices.size // n_y
+    return Mesh(devices[: n_z * n_y].reshape(n_z, n_y), ("z", "y"))
+
+
+def grid_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for an array whose trailing 3 dims are (z, y, x)."""
+    spec = [None] * (ndim - 3) + ["z", "y", None]
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _put_grid(x, mesh):
+    if hasattr(x, "ndim") and x.ndim >= 3:
+        return jax.device_put(x, grid_sharding(mesh, x.ndim))
+    return jax.device_put(x, replicated(mesh))
+
+
+def shard_system(system, mesh: Mesh):
+    """Place an AssembledSystem's device arrays on the mesh."""
+    from ..assembly.assemble import AssembledSystem
+    from ..assembly.stencil import StencilOperator
+
+    op = StencilOperator(
+        ka=_put_grid(system.op.ka, mesh),
+        gu=_put_grid(system.op.gu, mesh),
+        ku=_put_grid(system.op.ku, mesh),
+        da=_put_grid(system.op.da, mesh),
+    )
+    return AssembledSystem(
+        op=op,
+        cond_mask=_put_grid(system.cond_mask, mesh),
+        inert=_put_grid(system.inert, mesh),
+        bnd_a=_put_grid(system.bnd_a, mesh),
+        bnd_u=_put_grid(system.bnd_u, mesh),
+        np_ka=system.np_ka, np_gu=system.np_gu,
+        np_ku=system.np_ku, np_da=system.np_da,
+    )
+
+
+def shard_state(state, mesh: Mesh):
+    from ..sim.simulate import SimState
+    from ..sim.motion import MotionState
+
+    return SimState(
+        A=_put_grid(state.A, mesh),
+        U=_put_grid(state.U, mesh),
+        carry=_put_grid(state.carry, mesh),
+        motion=MotionState(
+            distance=jax.device_put(state.motion.distance, replicated(mesh)),
+            movestop=jax.device_put(state.motion.movestop, replicated(mesh)),
+        ),
+    )
