@@ -62,15 +62,22 @@ class CSRMatrix:
     def row_lengths(self) -> jax.Array:
         return self.indptr[1:] - self.indptr[:-1]
 
+    def row_ids(self) -> jax.Array:
+        """Expand indptr to a per-nnz row index — traceable under jit
+        (scatter a 1 at each row start, then prefix-sum)."""
+        nnz = self.cols.shape[0]
+        starts = jnp.zeros(nnz, jnp.int32).at[self.indptr[1:-1]].add(1)
+        return jnp.cumsum(starts)
+
     def to_coo(self) -> COOMatrix:
-        lens = np.asarray(self.indptr)
-        rows = jnp.asarray(np.repeat(np.arange(self.shape[0]), np.diff(lens)))
-        return COOMatrix(rows=rows, cols=self.cols, vals=self.vals, shape=self.shape)
+        return COOMatrix(rows=self.row_ids(), cols=self.cols, vals=self.vals,
+                         shape=self.shape)
 
     def matvec(self, x: jax.Array) -> jax.Array:
         """y[i] = sum_j vals[indptr[i]:indptr[i+1]] * x[cols[...]]
         (sprsAx semantics, solvers.f90:57-60)."""
-        return self.to_coo().matvec(x)
+        prod = self.vals * x[self.cols]
+        return jax.ops.segment_sum(prod, self.row_ids(), num_segments=self.shape[0])
 
     def to_ell(self, width: int | None = None) -> "ELLMatrix":
         indptr = np.asarray(self.indptr)

@@ -1,0 +1,78 @@
+"""Multi-device sharding on the 8-device CPU mesh: sharded runs must equal
+unsharded runs bit-for-bit-or-close, and collectives must actually engage
+(the arrays really live distributed)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eddy_currents_3d_tpu.assembly.assemble import assemble_operator
+from eddy_currents_3d_tpu.assembly.stencil import State
+from eddy_currents_3d_tpu.parallel.mesh import grid_sharding, make_mesh, shard_system
+from eddy_currents_3d_tpu.sim.simulate import Simulation
+from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"z": 4, "y": 2}
+    mesh1 = make_mesh()
+    assert mesh1.shape["z"] * mesh1.shape["y"] == 8
+
+
+def test_sharded_operator_apply_matches(rng):
+    model = load_case(case_static(shape_xyz=(16, 16, 16), steps=2))
+    sysm = assemble_operator(model, jnp.float64)
+    nz, ny, nx = model.shape_zyx
+    A = rng.standard_normal((3, nz, ny, nx))
+    U = rng.standard_normal((nz, ny, nx)) * np.asarray(sysm.cond_mask)
+    st = State(jnp.asarray(A), jnp.asarray(U))
+    y_ref = jax.jit(sysm.op.apply)(st)
+
+    mesh = make_mesh(4, 2)
+    ssys = shard_system(sysm, mesh)
+    sst = State(
+        jax.device_put(st.A, grid_sharding(mesh, 4)),
+        jax.device_put(st.U, grid_sharding(mesh, 3)),
+    )
+    y_sh = jax.jit(ssys.op.apply)(sst)
+    # the result is genuinely sharded
+    assert len(y_sh.A.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(y_sh.A), np.asarray(y_ref.A), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_sh.U), np.asarray(y_ref.U), rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_simulation_matches_single_device():
+    model = load_case(case_static(shape_xyz=(16, 16, 16), steps=2))
+    ref_sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64)
+    ref_state, ref_diag = ref_sim.run()
+
+    mesh = make_mesh(4, 2)
+    sh_sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64, mesh=mesh)
+    sh_state, sh_diag = sh_sim.run()
+
+    assert len(sh_state.A.sharding.device_set) == 8
+    # same algorithm; reduction orders differ across shards -> tiny drift
+    scale = np.abs(np.asarray(ref_state.A)).max()
+    np.testing.assert_allclose(
+        np.asarray(sh_state.A), np.asarray(ref_state.A), atol=1e-6 * scale
+    )
+    assert sh_diag["iterations"] == pytest.approx(ref_diag["iterations"], abs=2)
+
+
+def test_uneven_z_extent_shards():
+    # nz=10 over 4 z-shards (uneven) must still work and agree
+    model = load_case(case_static(shape_xyz=(12, 12, 10), steps=2))
+    ref_state, _ = Simulation(model, dtype=jnp.float64).run()
+    mesh = make_mesh(2, 2)
+    sh_state, _ = Simulation(model, dtype=jnp.float64, mesh=mesh).run()
+    scale = np.abs(np.asarray(ref_state.A)).max()
+    np.testing.assert_allclose(
+        np.asarray(sh_state.A), np.asarray(ref_state.A), atol=1e-5 * scale
+    )
