@@ -297,11 +297,31 @@ def assemble_operator(model: Model, dtype=jnp.float32) -> AssembledSystem:
             da[a, 0] = np.where(sel, +half, da[a, 0])
             da[a, 2] = np.where(sel, -half, da[a, 2])
 
+    # conductor bounding box + stencil halo: the U-coupled coefficient
+    # streams are zero outside it, so only this window ships to the device
+    if cond.any():
+        zz, yy, xx = np.nonzero(cond)
+        box = (
+            max(int(zz.min()) - 2, 0), min(int(zz.max()) + 3, nz),
+            max(int(yy.min()) - 2, 0), min(int(yy.max()) + 3, ny),
+            max(int(xx.min()) - 2, 0), min(int(xx.max()) + 3, nx),
+        )
+        bsl = (slice(box[0], box[1]), slice(box[2], box[3]), slice(box[4], box[5]))
+        gu_d = gu[(slice(None), slice(None)) + bsl]
+        ku_d = ku[(slice(None),) + bsl]
+        da_d = da[(slice(None), slice(None)) + bsl]
+    else:
+        box = None
+        gu_d = np.zeros((3, 5, 0, 0, 0))
+        ku_d = np.zeros((7, 0, 0, 0))
+        da_d = np.zeros((3, 3, 0, 0, 0))
+
     op = StencilOperator(
         ka=jnp.asarray(ka, dtype),
-        gu=jnp.asarray(gu, dtype),
-        ku=jnp.asarray(ku, dtype),
-        da=jnp.asarray(da, dtype),
+        gu=jnp.asarray(gu_d, dtype),
+        ku=jnp.asarray(ku_d, dtype),
+        da=jnp.asarray(da_d, dtype),
+        box=box,
     )
     return AssembledSystem(
         op=op,

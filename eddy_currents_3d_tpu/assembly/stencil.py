@@ -6,21 +6,27 @@ SpMV (solvers.f90:54-61).  Gathers are hostile to the TPU memory system, so
 here the same linear operator is stored as *dense per-offset coefficient
 fields* over the voxel grid and applied as a fused sum of shifted
 multiply-adds — a pure HBM-streaming computation that XLA fuses into a
-single pass and that shards trivially over a device mesh (z-slab sharding;
+few passes and that shards trivially over a device mesh (z-slab sharding;
 the shifts along z become collective permutes).
 
 Blocks (see assemble.py for how they are filled):
 
-* ``ka``  (7, nz, ny, nx)    — the A-row stencil, *shared* by Ax/Ay/Az
+* ``ka``  (7, nz, ny, nx)  — the A-row stencil, *shared* by Ax/Ay/Az
   (the reference uses identical rows for the three components,
   EC3D.f90:645-665).  Offset order: [0, -x, +x, -y, +y, -z, +z].
-* ``gu``  (3, 5, nz, ny, nx) — grad-U coupling into the A_c row; offsets
+* ``gu``  (3, 5, *box*)    — grad-U coupling into the A_c row; offsets
   [-2, -1, 0, +1, +2] along axis c (central or one-sided (-3,+4,-1)
   conductor-surface stencils, EC3D.f90:667-710).
-* ``ku``  (7, nz, ny, nx)    — U-row Laplacian on U (EC3D.f90:766-921).
-* ``da``  (3, 3, nz, ny, nx) — U-row div(dA/dt) coupling into A_c; offsets
-  [-1, 0, +1] along axis c (EC3D.f90:918-921 and the boundary-case
+* ``ku``  (7, *box*)       — U-row Laplacian on U (EC3D.f90:766-921).
+* ``da``  (3, 3, *box*)    — U-row div(dA/dt) coupling into A_c; offsets
+  [-1, 0, +1] along axis c (EC3D.f90:918-921 plus the boundary-case
   same-cell couplings).
+
+Bandwidth optimization: every U-coupled coefficient is nonzero only on
+conducting cells, so ``gu``/``ku``/``da`` are stored restricted to the
+conductor bounding box expanded by the stencil halo (2 cells) — for typical
+models this removes most of the coefficient HBM traffic per matvec.  The
+``box`` tuple is static metadata; an empty box means "no conductors".
 
 U is stored dense on the grid but only conducting cells carry unknowns; all
 coefficients touching non-conducting U cells are zero by construction, so
@@ -30,7 +36,8 @@ embedded CSR system (padding entries stay identically zero).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +80,7 @@ class State:
     A: jax.Array
     U: jax.Array
 
-    # -- vector-space helpers (used by the Krylov solver) --
+    # -- vector-space helpers --
     def __add__(self, o):  return State(self.A + o.A, self.U + o.U)
     def __sub__(self, o):  return State(self.A - o.A, self.U - o.U)
     def scale(self, a):    return State(a * self.A, a * self.U)
@@ -91,13 +98,21 @@ class State:
         return State(jnp.zeros((3, nz, ny, nx), dtype), jnp.zeros((nz, ny, nx), dtype))
 
 
+def _boxslice(box):
+    z0, z1, y0, y1, x0, x1 = box
+    return (slice(z0, z1), slice(y0, y1), slice(x0, x1))
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class StencilOperator:
     ka: jax.Array   # (7, nz, ny, nx)
-    gu: jax.Array   # (3, 5, nz, ny, nx)
-    ku: jax.Array   # (7, nz, ny, nx)
-    da: jax.Array   # (3, 3, nz, ny, nx)
+    gu: jax.Array   # (3, 5, bz, by, bx) — conductor box (halo included)
+    ku: jax.Array   # (7, bz, by, bx)
+    da: jax.Array   # (3, 3, bz, by, bx)
+    # (z0, z1, y0, y1, x0, x1) of the conductor box within the grid;
+    # None when the model has no conducting cells
+    box: Optional[tuple] = dc_field(metadata=dict(static=True), default=None)
 
     @property
     def shape_zyx(self):
@@ -109,49 +124,72 @@ class StencilOperator:
 
     def apply(self, x: State) -> State:
         """y = A @ x (the full coupled operator)."""
-        # A rows: shared 7-point stencil over each component...
+        # A rows: shared 7-point stencil over each component
         yA = self.ka[0][None] * x.A
         for o, (axis, d) in enumerate(OFFSETS7):
             if o == 0:
                 continue
             yA = yA + self.ka[o][None] * shift(x.A, axis, d)
-        # ... plus grad-U coupling (component c differentiates U along c)
+
+        if self.box is None:
+            return State(yA, jnp.zeros_like(x.U))
+
+        sl = _boxslice(self.box)
+        Ub = x.U[sl]
+        # grad-U coupling into the A rows (conductor box only)
         gu_terms = []
         for c in range(3):
-            t = self.gu[c, 2] * x.U
+            t = self.gu[c, 2] * Ub
             for k, d in ((0, -2), (1, -1), (3, +1), (4, +2)):
-                t = t + self.gu[c, k] * shift(x.U, c, d)
+                t = t + self.gu[c, k] * shift(Ub, c, d)
             gu_terms.append(t)
-        yA = yA + jnp.stack(gu_terms)
+        yA = yA.at[(slice(None),) + sl].add(jnp.stack(gu_terms))
 
-        # U rows: Laplacian on U + div coupling into A
-        yU = self.ku[0] * x.U
+        # U rows: Laplacian on U + div coupling into A (box only)
+        yUb = self.ku[0] * Ub
         for o, (axis, d) in enumerate(OFFSETS7):
             if o == 0:
                 continue
-            yU = yU + self.ku[o] * shift(x.U, axis, d)
-        yU = yU + self.apply_div(x.A)
+            yUb = yUb + self.ku[o] * shift(Ub, axis, d)
+        yUb = yUb + self._div_box(x.A)
+        yU = jnp.zeros_like(x.U).at[sl].set(yUb)
         return State(yA, yU)
+
+    def _div_box(self, A: jax.Array) -> jax.Array:
+        sl = _boxslice(self.box)
+        Ab = A[(slice(None),) + sl]
+        yUb = jnp.zeros(Ab.shape[1:], A.dtype)
+        for c in range(3):
+            yUb = yUb + self.da[c, 1] * Ab[c]
+            yUb = yUb + self.da[c, 0] * shift(Ab[c], c, -1)
+            yUb = yUb + self.da[c, 2] * shift(Ab[c], c, +1)
+        return yUb
 
     def apply_div(self, A: jax.Array) -> jax.Array:
         """Only the U-row -> A-column coupling (used for the per-step RHS:
         the reference moves these terms times the old solution to the right
-        hand side, EC3D.f90:385-392)."""
-        yU = jnp.zeros(A.shape[1:], A.dtype)
-        for c in range(3):
-            yU = yU + self.da[c, 1] * A[c]
-            yU = yU + self.da[c, 0] * shift(A[c], c, -1)
-            yU = yU + self.da[c, 2] * shift(A[c], c, +1)
-        return yU
+        hand side, EC3D.f90:385-392).
+
+        Note: the box slice of A sees true values (not zero padding), and
+        off-box U rows have no coefficients, so this equals the full-grid
+        contraction exactly."""
+        full = jnp.zeros(A.shape[1:], A.dtype)
+        if self.box is None:
+            return full
+        return full.at[_boxslice(self.box)].set(self._div_box(A))
 
     def diagonal(self) -> State:
         """Operator diagonal as a State (for Jacobi preconditioning).
         Non-conducting U rows have no unknown; report 1 there."""
-        dU = jnp.where(self.ku[0] == 0, jnp.ones_like(self.ku[0]), self.ku[0])
-        return State(jnp.broadcast_to(self.ka[0][None], (3,) + tuple(self.ka.shape[1:])), dU)
+        dA = jnp.broadcast_to(self.ka[0][None], (3,) + tuple(self.ka.shape[1:]))
+        dU = jnp.ones(self.ka.shape[1:], self.ka.dtype)
+        if self.box is not None:
+            ku0 = self.ku[0]
+            dU = dU.at[_boxslice(self.box)].set(jnp.where(ku0 == 0, 1.0, ku0))
+        return State(dA, dU)
 
     def astype(self, dtype) -> "StencilOperator":
         return StencilOperator(
             self.ka.astype(dtype), self.gu.astype(dtype),
-            self.ku.astype(dtype), self.da.astype(dtype),
+            self.ku.astype(dtype), self.da.astype(dtype), self.box,
         )

@@ -53,9 +53,11 @@ def shard_system(system, mesh: Mesh):
 
     op = StencilOperator(
         ka=_put_grid(system.op.ka, mesh),
-        gu=_put_grid(system.op.gu, mesh),
-        ku=_put_grid(system.op.ku, mesh),
-        da=_put_grid(system.op.da, mesh),
+        # the box-restricted U-coupling streams are small; replicate them
+        gu=jax.device_put(system.op.gu, replicated(mesh)),
+        ku=jax.device_put(system.op.ku, replicated(mesh)),
+        da=jax.device_put(system.op.da, replicated(mesh)),
+        box=system.op.box,
     )
     return AssembledSystem(
         op=op,
