@@ -123,46 +123,70 @@ class StencilOperator:
         return self.ka.dtype
 
     def apply(self, x: State) -> State:
-        """y = A @ x (the full coupled operator)."""
-        # A rows: shared 7-point stencil over each component
-        yA = self.ka[0][None] * x.A
+        """y = A @ x (the full coupled operator).
+
+        Flat-roll formulation: every stencil offset that crosses a grid (or
+        conductor-box) face has a zero coefficient on the cells where the
+        flattened roll would wrap (boundary rows drop the outward neighbor,
+        EC3D.f90:528-643; one-sided conductor stencils sit >=2 cells inside
+        the box), so shifts are plain ``jnp.roll`` on flat vectors — no
+        padded 3-D intermediates, lane-aligned streaming."""
+        nz, ny, nx = self.shape_zyx
+        N = nz * ny * nx
+        strides = (1, nx, nx * ny)
+
+        A2 = x.A.reshape(3, N)
+        ka = self.ka.reshape(7, N)
+        yA = ka[0] * A2
         for o, (axis, d) in enumerate(OFFSETS7):
             if o == 0:
                 continue
-            yA = yA + self.ka[o][None] * shift(x.A, axis, d)
+            yA = yA + ka[o] * jnp.roll(A2, -d * strides[axis], axis=1)
 
         if self.box is None:
-            return State(yA, jnp.zeros_like(x.U))
+            return State(yA.reshape(x.A.shape), jnp.zeros_like(x.U))
 
         sl = _boxslice(self.box)
-        Ub = x.U[sl]
+        bz, by, bx = self.ku.shape[1:]
+        B = bz * by * bx
+        bstr = (1, bx, bx * by)
+        Ub = x.U[sl].reshape(B)
+        gu = self.gu.reshape(3, 5, B)
+        ku = self.ku.reshape(7, B)
+
         # grad-U coupling into the A rows (conductor box only)
         gu_terms = []
         for c in range(3):
-            t = self.gu[c, 2] * Ub
+            t = gu[c, 2] * Ub
             for k, d in ((0, -2), (1, -1), (3, +1), (4, +2)):
-                t = t + self.gu[c, k] * shift(Ub, c, d)
-            gu_terms.append(t)
-        yA = yA.at[(slice(None),) + sl].add(jnp.stack(gu_terms))
+                t = t + gu[c, k] * jnp.roll(Ub, -d * bstr[c])
+            gu_terms.append(t.reshape(bz, by, bx))
+        yA = yA.reshape(x.A.shape).at[(slice(None),) + sl].add(jnp.stack(gu_terms))
 
         # U rows: Laplacian on U + div coupling into A (box only)
-        yUb = self.ku[0] * Ub
+        yUb = ku[0] * Ub
         for o, (axis, d) in enumerate(OFFSETS7):
             if o == 0:
                 continue
-            yUb = yUb + self.ku[o] * shift(Ub, axis, d)
-        yUb = yUb + self._div_box(x.A)
-        yU = jnp.zeros_like(x.U).at[sl].set(yUb)
+            yUb = yUb + ku[o] * jnp.roll(Ub, -d * bstr[axis])
+        yUb = yUb + self._div_box(x.A).reshape(B)
+        yU = jnp.zeros_like(x.U).at[sl].set(yUb.reshape(bz, by, bx))
         return State(yA, yU)
 
     def _div_box(self, A: jax.Array) -> jax.Array:
+        """Flat box vector of the div-coupling contraction (same flat-roll
+        argument as apply: da is zero within 1 cell of the box faces)."""
         sl = _boxslice(self.box)
-        Ab = A[(slice(None),) + sl]
-        yUb = jnp.zeros(Ab.shape[1:], A.dtype)
+        bz, by, bx = self.ku.shape[1:]
+        B = bz * by * bx
+        bstr = (1, bx, bx * by)
+        Ab = A[(slice(None),) + sl].reshape(3, B)
+        da = self.da.reshape(3, 3, B)
+        yUb = jnp.zeros(B, A.dtype)
         for c in range(3):
-            yUb = yUb + self.da[c, 1] * Ab[c]
-            yUb = yUb + self.da[c, 0] * shift(Ab[c], c, -1)
-            yUb = yUb + self.da[c, 2] * shift(Ab[c], c, +1)
+            yUb = yUb + da[c, 1] * Ab[c]
+            yUb = yUb + da[c, 0] * jnp.roll(Ab[c], bstr[c])
+            yUb = yUb + da[c, 2] * jnp.roll(Ab[c], -bstr[c])
         return yUb
 
     def apply_div(self, A: jax.Array) -> jax.Array:
@@ -176,7 +200,8 @@ class StencilOperator:
         full = jnp.zeros(A.shape[1:], A.dtype)
         if self.box is None:
             return full
-        return full.at[_boxslice(self.box)].set(self._div_box(A))
+        bz, by, bx = self.ku.shape[1:]
+        return full.at[_boxslice(self.box)].set(self._div_box(A).reshape(bz, by, bx))
 
     def diagonal(self) -> State:
         """Operator diagonal as a State (for Jacobi preconditioning).

@@ -81,12 +81,23 @@ class Simulation:
         mesh=None,
         system: Optional[AssembledSystem] = None,
         donate: bool = True,
+        use_pallas: Optional[bool] = None,
     ):
         self.model = model
         self.dtype = dtype
         self.dot_dtype = dot_dtype
         self.mesh = mesh
         self.system = system if system is not None else assemble_operator(model, dtype)
+
+        # fused Pallas matvec on single-device TPU runs (the jnp fallback is
+        # used for CPU and for SPMD mesh runs, where XLA partitions the ops)
+        from ..ops import pallas_stencil
+        if use_pallas is None:
+            use_pallas = mesh is None and pallas_stencil.pallas_available()
+        self.pallas_op = (
+            pallas_stencil.from_assembled(self.system) if use_pallas and mesh is None
+            else None
+        )
         self.steps = _schedule(model.tran)
         self.n_steps = len(self.steps)
 
@@ -193,13 +204,20 @@ class Simulation:
         # ---- solve (EC3D.f90:408) ----
         b = State(rhs_A, rhs_U)
         x0 = State(state.A, state.U)
-        res = bicgstab_wr(
-            op.apply, b, x0,
-            jnp.asarray(model.solver.tolerance, self.dtype),
-            model.solver.itmax,
-            dot_dtype=self.dot_dtype,
-        )
-        A_new, U_new = res.x.A, res.x.U
+        tol = jnp.asarray(model.solver.tolerance, self.dtype)
+        if self.pallas_op is not None:
+            pop = self.pallas_op
+            res = bicgstab_wr(
+                pop.apply, pop.pad_state(b), pop.pad_state(x0),
+                tol, model.solver.itmax, dot_dtype=self.dot_dtype,
+            )
+            sol = pop.unpad_state(res.x)
+        else:
+            res = bicgstab_wr(
+                op.apply, b, x0, tol, model.solver.itmax, dot_dtype=self.dot_dtype,
+            )
+            sol = res.x
+        A_new, U_new = sol.A, sol.U
 
         # ---- post-solve inertial carry + surface zeroing (EC3D.f90:412-432)
         carry = jnp.where(cond[None], inert[None] * A_new - rhs_A, rhs_A)
