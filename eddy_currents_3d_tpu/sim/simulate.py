@@ -241,32 +241,86 @@ class Simulation:
         output_dir: Optional[str] = None,
         on_output: Optional[Callable] = None,
         progress: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        initial_state: Optional[SimState] = None,
     ):
-        """Run the transient.  Writes VTK at the jump cadence when
-        ``output_dir`` is given; calls ``on_output(npoint, state, info)``
-        when provided.  Returns (final_state, diagnostics_dict)."""
-        from ..io import vtk as vtkio
+        """Run the transient.
 
-        state = self.init_state()
-        iters = []
-        t0 = _time.perf_counter()
+        * ``output_dir``: write field_N.vtk / src_N.vtk at the jump cadence.
+        * ``on_output(npoint, state, info)``: callback at each output point.
+        * ``checkpoint_dir`` + ``checkpoint_every``: save ckpt_<step>.npz
+          every N steps; ``resume=True`` continues from the newest one
+          (validated against a model fingerprint).
+        * ``progress``: the reference's 1%% ``>`` ticker (EC3D.f90:446-450).
+
+        Returns (final_state, diagnostics dict with per-step iteration
+        counts, solve/io wall-time split, and the unconverged-step count).
+        """
+        import os
+        from ..io import vtk as vtkio
+        from . import checkpoint as ckpt
+
+        start = 0
+        state = initial_state
+        fingerprint = None
+        if checkpoint_dir is not None:
+            fingerprint = ckpt.model_fingerprint(self.model)
+            if resume:
+                path = ckpt.latest_checkpoint(checkpoint_dir)
+                if path is not None:
+                    state, start, _ = ckpt.load_checkpoint(path, fingerprint, self.dtype)
+                    state = self._shard_state(state)
+        if state is None:
+            state = self.init_state()
+
         steps = self.steps if num_steps is None else self.steps[:num_steps]
-        for t, out in steps:
+        infos = []
+        t0 = _time.perf_counter()
+        t_io = 0.0
+        tick = max(len(self.steps) // 100, 1)
+        for idx in range(start, len(steps)):
+            t, out = steps[idx]
             state, info = self._step_jit(state, t)
-            iters.append(info.iterations)
+            infos.append(info)
             if out is not None:
+                t1 = _time.perf_counter()
                 if output_dir is not None:
                     vtkio.write_outputs(self, state, info, out, output_dir)
                 if on_output is not None:
                     on_output(out, state, info)
-            if progress:
+                t_io += _time.perf_counter() - t1
+            if checkpoint_dir is not None and checkpoint_every and (idx + 1) % checkpoint_every == 0:
+                t1 = _time.perf_counter()
+                ckpt.save_checkpoint(
+                    os.path.join(checkpoint_dir, f"ckpt_{idx + 1}.npz"),
+                    state, idx + 1, out or 0, fingerprint,
+                )
+                t_io += _time.perf_counter() - t1
+            if progress and idx % tick == 0:
                 print(">", end="", flush=True)
         jax.block_until_ready(state)
         wall = _time.perf_counter() - t0
-        iters = [int(i) for i in iters]
+        if checkpoint_dir is not None and checkpoint_every:
+            ckpt.save_checkpoint(
+                os.path.join(checkpoint_dir, f"ckpt_{len(steps)}.npz"),
+                state, len(steps), steps[-1][1] or 0, fingerprint,
+            )
+
+        iters = [int(i.iterations) for i in infos]
+        unconverged = [start + i for i, inf in enumerate(infos) if not bool(inf.converged)]
+        if unconverged:
+            # the reference prints the residual norm on itmax overflow and
+            # carries on (solvers.f90:25-27)
+            print(f"WARNING: solver hit itmax without converging at "
+                  f"{len(unconverged)} step(s), first at step {unconverged[0]}")
         return state, {
             "wall_s": wall,
-            "steps": len(steps),
+            "io_s": t_io,
+            "steps": len(steps) - start,
+            "start_step": start,
             "iterations": iters,
-            "total_iterations": int(np.sum(iters)),
+            "total_iterations": int(np.sum(iters)) if iters else 0,
+            "unconverged_steps": unconverged,
         }
