@@ -70,6 +70,7 @@ class AssembledSystem:
     inert: jnp.ndarray            # (nz,ny,nx) 2C/dt on conducting cells
     bnd_a: jnp.ndarray            # (3,nz,ny,nx) bool: cel_bndX/Y/Z rows
     bnd_u: jnp.ndarray            # (3,nz,ny,nx) bool: cel_bndUx/y/z rows
+    gershgorin: float             # max absolute row sum (spectral bound)
     # host copies for CSR export / inspection
     np_ka: np.ndarray
     np_gu: np.ndarray
@@ -323,12 +324,18 @@ def assemble_operator(model: Model, dtype=jnp.float32) -> AssembledSystem:
         da=jnp.asarray(da_d, dtype),
         box=box,
     )
+    # Gershgorin bound on |lambda|: max absolute row sum over A and U rows
+    # (for the dominant 7-point block this is ~4*(sx+sy+sz), tight)
+    row_a = np.abs(ka).sum(0) + np.abs(gu).sum(1).max(0)
+    row_u = np.abs(ku).sum(0) + np.abs(da).sum(axis=(0, 1))
+    gersh = float(max(row_a.max(), row_u.max()))
     return AssembledSystem(
         op=op,
         cond_mask=jnp.asarray(cond),
         inert=jnp.asarray(inert, dtype),
         bnd_a=jnp.asarray(bnd_a),
         bnd_u=jnp.asarray(bnd_u),
+        gershgorin=gersh,
         np_ka=ka, np_gu=gu, np_ku=ku, np_da=da,
     )
 

@@ -82,6 +82,9 @@ class Simulation:
         system: Optional[AssembledSystem] = None,
         donate: bool = True,
         use_pallas: Optional[bool] = None,
+        precond: Optional[str] = None,
+        cheb_order: int = 4,
+        cheb_ratio: float = 30.0,
     ):
         self.model = model
         self.dtype = dtype
@@ -98,6 +101,12 @@ class Simulation:
             pallas_stencil.from_assembled(self.system) if use_pallas and mesh is None
             else None
         )
+
+        if precond not in (None, "cheb"):
+            raise ValueError(f"unknown preconditioner {precond!r}")
+        self.precond = precond
+        self.cheb_order = cheb_order
+        self.cheb_ratio = cheb_ratio
         self.steps = _schedule(model.tran)
         self.n_steps = len(self.steps)
 
@@ -206,17 +215,26 @@ class Simulation:
         x0 = State(state.A, state.U)
         tol = jnp.asarray(model.solver.tolerance, self.dtype)
         if self.pallas_op is not None:
-            pop = self.pallas_op
-            res = bicgstab_wr(
-                pop.apply, pop.pad_state(b), pop.pad_state(x0),
-                tol, model.solver.itmax, dot_dtype=self.dot_dtype,
+            apply_fn, bb, xx0 = (
+                self.pallas_op.apply,
+                self.pallas_op.pad_state(b),
+                self.pallas_op.pad_state(x0),
             )
-            sol = pop.unpad_state(res.x)
+        else:
+            apply_fn, bb, xx0 = op.apply, b, x0
+        if self.precond == "cheb":
+            from ..solvers.chebyshev import bicgstab_wr_cheb
+            lmax = self.system.gershgorin * 1.01
+            res = bicgstab_wr_cheb(
+                apply_fn, bb, xx0, tol, model.solver.itmax,
+                order=self.cheb_order, lmin=lmax / self.cheb_ratio, lmax=lmax,
+                dot_dtype=self.dot_dtype,
+            )
         else:
             res = bicgstab_wr(
-                op.apply, b, x0, tol, model.solver.itmax, dot_dtype=self.dot_dtype,
+                apply_fn, bb, xx0, tol, model.solver.itmax, dot_dtype=self.dot_dtype,
             )
-            sol = res.x
+        sol = self.pallas_op.unpad_state(res.x) if self.pallas_op is not None else res.x
         A_new, U_new = sol.A, sol.U
 
         # ---- post-solve inertial carry + surface zeroing (EC3D.f90:412-432)

@@ -100,25 +100,36 @@ def bicgstab_wr(
 
         as_ = apply_fn(s)
         omega = dot(as_, s) / dot(as_, as_)
-        x_half = tree_axpy(alpha, c.p, c.x)
-        x_full = tree_axpy(omega, s, x_half)
-        r_new = tree_axpy(-omega, as_, s)
+        # On the half-step exit the reference sets x += alpha*p only
+        # (solvers.f90:34-38) and the loop terminates, so r/r0/p are dead
+        # after this iteration: gating omega (and below beta) to 0 gives the
+        # same x without any full-state selects.
+        omega_g = jnp.where(conv_s, jnp.zeros_like(omega), omega)
+        x_new = jax.tree.map(
+            lambda xi, pi, si: xi + alpha * pi + omega_g * si, c.x, c.p, s
+        )
+        r_new = tree_axpy(-omega_g, as_, s)
         r_rel = nrm(r_new) / bnorm
         conv_r = r_rel < tol
 
         rr0_new = dot(r_new, c.r0)
-        beta = (alpha / omega) * rr0_new / rr0
-        p_new = tree_axpy(beta, jax.tree.map(lambda pi, api: pi - omega * api, c.p, ap), r_new)
+        # restart r0 = r; p = r (solvers.f90:47-49) == gating beta to 0 and
+        # selecting r0; likewise a converged iteration's p/r0 are dead.
         restart = (jnp.abs(rr0_new) / bnorm) < tol
-        r0_new = jax.tree.map(lambda ri, r0i: jnp.where(restart, ri, r0i), r_new, c.r0)
-        p_new = jax.tree.map(lambda ri, pi: jnp.where(restart, ri, pi), r_new, p_new)
-
-        sel = lambda t, f: jax.tree.map(lambda a, b_: jnp.where(conv_s, a, b_), t, f)
+        beta = (alpha / omega) * rr0_new / rr0
+        beta_g = jnp.where(restart | conv_s, jnp.zeros_like(beta), beta)
+        omega_p = jnp.where(restart | conv_s, jnp.zeros_like(omega), omega)
+        p_new = jax.tree.map(
+            lambda ri, pi, api: ri + beta_g * (pi - omega_p * api), r_new, c.p, ap
+        )
+        r0_new = jax.tree.map(
+            lambda ri, r0i: jnp.where(restart, ri, r0i), r_new, c.r0
+        )
         return _Carry(
-            x=sel(x_half, x_full),
-            r=sel(c.r, r_new),
-            r0=sel(c.r0, r0_new),
-            p=sel(c.p, p_new),
+            x=x_new,
+            r=r_new,
+            r0=r0_new,
+            p=p_new,
             it=it,
             relres=jnp.where(conv_s, s_rel, r_rel),
             done=conv_s | conv_r,
