@@ -153,23 +153,29 @@ def write_src(
 
 
 def write_outputs(sim, state, info, npoint: int, output_dir: str) -> None:
-    """Write field_<n>.vtk + src_<n>.vtk for one output point."""
+    """Write field_<n>.vtk + src_<n>.vtk for one output point.
+
+    Uses the native C++ encoder (io/native.py, built from native/ecio.cpp)
+    when available — byte-identical output, threaded byteswap/interleave —
+    falling back to the numpy writers.  Set EC3D_NATIVE_IO=0 to disable."""
+    from . import native as native_io
+
+    use_native = os.environ.get("EC3D_NATIVE_IO", "1") != "0"
     os.makedirs(output_dir, exist_ok=True)
     A = np.asarray(state.A, np.float64)
     carry = np.asarray(state.carry, np.float64)
     cond = np.asarray(sim.system.cond_mask) if sim.model.n_cond else None
-    write_field(
-        os.path.join(output_dir, f"field_{npoint}.vtk"),
-        sim.model.delta, A, carry, cond,
-    )
-    write_src(
-        os.path.join(output_dir, f"src_{npoint}.vtk"),
-        sim.model.delta,
-        sim.model.shape_xyz,
-        [np.asarray(c) for c in info.src_cells],
-        [float(v) for v in info.src_values],
-        [fn.direction for fn in sim.model.functions],
-    )
+    field_path = os.path.join(output_dir, f"field_{npoint}.vtk")
+    if not (use_native and native_io.write_field_native(
+            field_path, sim.model.delta, A, carry, cond, EDDY_SCALE)):
+        write_field(field_path, sim.model.delta, A, carry, cond)
+    src_path = os.path.join(output_dir, f"src_{npoint}.vtk")
+    cells = [np.asarray(c) for c in info.src_cells]
+    values = [float(v) for v in info.src_values]
+    dirs = [fn.direction for fn in sim.model.functions]
+    if not (use_native and native_io.write_src_native(
+            src_path, sim.model.delta, sim.model.shape_xyz, cells, values, dirs)):
+        write_src(src_path, sim.model.delta, sim.model.shape_xyz, cells, values, dirs)
 
 
 def read_vtk_vectors(path: str) -> dict:
