@@ -72,7 +72,9 @@ def _pad3(arr: np.ndarray, NYp: int, NXp: int) -> np.ndarray:
 
 def _roll(x, shift, axis):
     # normalize to a non-negative shift; result[i] = x[(i - shift) mod n]
-    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+    # int32: tpu.dynamic_rotate requires an i32 shift (x64 mode would trace
+    # a bare Python int as i64 and fail MLIR verification)
+    return pltpu.roll(x, jnp.int32(shift % x.shape[axis]), axis=axis)
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ def shard_system(system, mesh: Mesh):
         bnd_u=_put_grid(system.bnd_u, mesh),
         np_ka=system.np_ka, np_gu=system.np_gu,
         np_ku=system.np_ku, np_da=system.np_da,
+        gershgorin=system.gershgorin,
     )
 
 

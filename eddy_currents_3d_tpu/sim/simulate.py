@@ -93,10 +93,15 @@ class Simulation:
         self.system = system if system is not None else assemble_operator(model, dtype)
 
         # fused Pallas matvec on single-device TPU runs (the jnp fallback is
-        # used for CPU and for SPMD mesh runs, where XLA partitions the ops)
+        # used for CPU and for SPMD mesh runs, where XLA partitions the ops).
+        # f64 is excluded: the TPU custom-call has no x64-rewrite path.
         from ..ops import pallas_stencil
         if use_pallas is None:
-            use_pallas = mesh is None and pallas_stencil.pallas_available()
+            use_pallas = (
+                mesh is None
+                and pallas_stencil.pallas_available()
+                and jnp.dtype(dtype).itemsize <= 4
+            )
         self.pallas_op = (
             pallas_stencil.from_assembled(self.system) if use_pallas and mesh is None
             else None
