@@ -70,6 +70,13 @@ def _pad3(arr: np.ndarray, NYp: int, NXp: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+def _i32map(f):
+    """Force a BlockSpec index map to yield int32 indices: under x64 mode
+    Python-int constants in the map trace as i64 and Mosaic rejects the
+    mixed (i64, i32, ...) index tuple."""
+    return lambda z: tuple(jnp.asarray(v, jnp.int32) for v in f(z))
+
+
 def _roll(x, shift, axis):
     # normalize to a non-negative shift; result[i] = x[(i - shift) mod n]
     # int32: tpu.dynamic_rotate requires an i32 shift (x64 mode would trace
@@ -97,11 +104,11 @@ def _apply_a(ka_p: jax.Array, A_p: jax.Array) -> jax.Array:
     nz, NYp, NXp = A_p.shape[1:]
     plane = lambda *lead: pl.BlockSpec(
         lead + (1, NYp, NXp),
-        (lambda z, _n=len(lead): (0,) * _n + (z, 0, 0)),
+        _i32map(lambda z, _n=len(lead): (0,) * _n + (z, 0, 0)),
         memory_space=pltpu.VMEM,
     )
     a_at = lambda fz: pl.BlockSpec(
-        (3, 1, NYp, NXp), (lambda z: (0, fz(z), 0, 0)), memory_space=pltpu.VMEM
+        (3, 1, NYp, NXp), _i32map(lambda z: (0, fz(z), 0, 0)), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         _a_kernel,
@@ -158,14 +165,14 @@ def _u_kernel(gu_ref, ku_ref, da_ref,
 def _apply_u(gu_p, ku_p, da_p, Ub_p, Ab_p):
     bz, BYp, BXp = Ub_p.shape
     u_at = lambda fz: pl.BlockSpec(
-        (1, BYp, BXp), (lambda z: (fz(z), 0, 0)), memory_space=pltpu.VMEM
+        (1, BYp, BXp), _i32map(lambda z: (fz(z), 0, 0)), memory_space=pltpu.VMEM
     )
     a_at = lambda fz: pl.BlockSpec(
-        (3, 1, BYp, BXp), (lambda z: (0, fz(z), 0, 0)), memory_space=pltpu.VMEM
+        (3, 1, BYp, BXp), _i32map(lambda z: (0, fz(z), 0, 0)), memory_space=pltpu.VMEM
     )
     lead = lambda *ld: pl.BlockSpec(
         ld + (1, BYp, BXp),
-        (lambda z, _n=len(ld): (0,) * _n + (z, 0, 0)),
+        _i32map(lambda z, _n=len(ld): (0,) * _n + (z, 0, 0)),
         memory_space=pltpu.VMEM,
     )
     lo = lambda d: (lambda z: jnp.maximum(z - d, 0))
