@@ -6,6 +6,20 @@ README's machine, README.md:110-111) and prints one JSON line with the
 measured time per timestep and the speedup vs that baseline.
 
 Usage: python bench.py [--case team7|lim|move] [--steps N] [--f64]
+
+Extra modes (all still print exactly one JSON line):
+
+* ``--mode roofline``: time the fused stencil matvec on the case's operator
+  and report effective SpMV nnz/s as a fraction of the *measured* HBM
+  streaming bandwidth of the chip (a triad kernel measures the speed of
+  light; the BASELINE target is >=70%).
+* ``--mode scaling --devices N``: weak-scaling efficiency of the sharded
+  step on an N-virtual-device CPU mesh (the multi-host test strategy —
+  z extent and device count scale together; ideal == 1.0).
+* ``--mode scale256``: the BASELINE "scaled LIM at 256^3"-class config — a
+  large synthetic conducting-plate problem stepped with the production
+  stencil path (reports time/step; no reference baseline exists, so
+  vs_baseline is nnz/s in millions).
 """
 
 from __future__ import annotations
@@ -25,18 +39,266 @@ BASELINES = {
 }
 
 
+def ap_default_shape() -> str:
+    return "256,256,64"
+
+
+def _force(x) -> float:
+    """Truly synchronize: reduce on device, fetch the scalar to host.
+    (Over the remote-TPU tunnel ``block_until_ready`` returns before the
+    computation finishes; a host readback is the only reliable barrier.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves = jax.tree.leaves(x)
+    return float(np.asarray(sum(jnp.sum(l) for l in leaves)))
+
+
+def _rtt() -> float:
+    """Measured host<->device round-trip latency (dispatch + readback of a
+    trivial scalar) — subtracted from chained-kernel timings."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: jnp.sum(a))
+    z = jnp.zeros(8, jnp.float32)
+    _force(f(z))
+    t0 = time.perf_counter()
+    _force(f(z))
+    return time.perf_counter() - t0
+
+
+def _emit(metric, value, unit, vs_baseline, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 6),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 4),
+                      **extra}))
+    return 0
+
+
+def _load(path, fallback_shape, steps):
+    from eddy_currents_3d_tpu.models.vxc import read_vxc
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    if path and os.path.exists(path):
+        return read_vxc(path)
+    return load_case(case_static(shape_xyz=fallback_shape, steps=steps))
+
+
+def run_roofline(args) -> int:
+    """Effective stencil-SpMV nnz/s vs measured HBM streaming bandwidth."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from eddy_currents_3d_tpu.assembly.assemble import assemble_operator
+    from eddy_currents_3d_tpu.assembly.stencil import State
+    from eddy_currents_3d_tpu.ops import pallas_stencil
+
+    if args.shape and args.mode == "roofline" and args.shape != ap_default_shape():
+        from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+        shape = tuple(int(v) for v in args.shape.split(","))
+        model = load_case(case_static(shape_xyz=shape, steps=2))
+    else:
+        _, base_steps, path = BASELINES[args.case]
+        model = _load(path, (102, 102, 24), base_steps)
+    sysm = assemble_operator(model, jnp.float32)
+    # matrix nnz actually encoded in the coefficient streams: each ka offset
+    # field feeds all three A components
+    nnz = (3 * np.count_nonzero(sysm.np_ka) + np.count_nonzero(sysm.np_gu)
+           + np.count_nonzero(sysm.np_ku) + np.count_nonzero(sysm.np_da))
+
+    use_pallas = pallas_stencil.pallas_available()
+    nz, ny, nx = sysm.np_ka.shape[1:]
+    rng = np.random.default_rng(0)
+    st = State(jnp.asarray(rng.standard_normal((3, nz, ny, nx)), jnp.float32),
+               jnp.asarray(rng.standard_normal((nz, ny, nx))
+                           * np.asarray(sysm.cond_mask), jnp.float32))
+    if use_pallas:
+        op = pallas_stencil.from_assembled(sysm)
+        st = op.pad_state(st)
+        apply_fn = op.apply
+        coeff = sum(int(a.size) for a in (op.ka_p, op.gu_p, op.ku_p, op.da_p))
+        n_state = int(st.A.size + st.U.size)
+    else:
+        op = sysm.op
+        apply_fn = op.apply
+        coeff = sum(int(np.asarray(a).size)
+                    for a in (sysm.np_ka, sysm.np_gu, sysm.np_ku, sysm.np_da))
+        n_state = int(st.A.size + st.U.size)
+    # bytes per matvec: stream every coefficient once, read + write the state
+    bytes_mv = 4 * (coeff + 2 * n_state)
+
+    def chain_of(reps):
+        @jax.jit
+        def chain(s):
+            def body(_, s):
+                y = apply_fn(s)
+                # rescale to keep the iterated state finite (fuses in)
+                return State(y.A * 1e-4, y.U * 1e-4)
+            s = jax.lax.fori_loop(0, reps, body, s)
+            return jnp.sum(s.A) + jnp.sum(s.U)
+        return chain
+
+    def timed(fn, *args):
+        """Median of 3 host-synced wall times."""
+        _force(fn(*args))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    # two-point measurement: t(2R) - t(R) cancels dispatch/readback latency;
+    # R sized so the differenced work is ~20 ms at any grid size
+    R = int(min(1024, max(48, 1.5e10 // bytes_mv)))
+    c1, c2 = chain_of(R), chain_of(2 * R)
+    t_mv = max(timed(c2, st) - timed(c1, st), 1e-9) / R
+
+    # measured speed of light: same two-point chained triad on big buffers
+    # (runtime random inputs so nothing constant-folds)
+    big = 1 << 26  # 64M f32 per array
+    x = jax.random.normal(jax.random.PRNGKey(0), (big,), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(1), (big,), jnp.float32)
+
+    def triad_of(reps):
+        return jax.jit(lambda a, b: jnp.sum(
+            jax.lax.fori_loop(0, reps, lambda _, a: a * 0.999 + 2.0 * b, a)))
+
+    t_triad = max(timed(triad_of(2 * R), x, y) - timed(triad_of(R), x, y),
+                  1e-9) / R
+    stream_bw = 3 * big * 4 / t_triad            # bytes/s, measured roofline
+
+    # bytes_mv is the *minimum possible* traffic (each operand exactly once),
+    # so pct is a lower bound on pipeline efficiency; >100% means the fused
+    # kernel streams better than the reference triad loop does.
+    achieved_bw = bytes_mv / t_mv
+    pct = 100.0 * achieved_bw / stream_bw
+    return _emit(
+        f"{args.case}_spmv_roofline", pct, "% of measured HBM stream", pct / 70.0,
+        nnz_per_s=round(nnz / t_mv / 1e6, 1),
+        matvec_us=round(t_mv * 1e6, 1),
+        stream_gbps=round(stream_bw / 1e9, 1),
+        backend=jax.devices()[0].platform,
+    )
+
+
+def run_scaling(args) -> int:
+    """Weak-scaling overhead of the sharded step on one host: N virtual
+    devices do N devices' work on the same silicon, so ideal wall time is
+    N x the 1-device time; the metric is (N*t1)/tN (1.0 = zero sharding
+    overhead).  On real multi-chip hardware the same harness measures true
+    weak scaling."""
+    import jax
+    import jax.numpy as jnp
+    from eddy_currents_3d_tpu.parallel.mesh import make_mesh
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    from eddy_currents_3d_tpu.assembly.stencil import State
+
+    d = args.devices
+    base_z = 16
+    R = 32
+
+    def time_matvec(nz, mesh):
+        """Seconds per sharded operator application (the weak-scaled unit of
+        solver work; full-solve timing would confound scaling with the
+        iteration-count change of a physically larger domain)."""
+        model = load_case(case_static(shape_xyz=(64, 64, nz), steps=3))
+        sim = Simulation(model, dtype=jnp.float32, mesh=mesh, donate=False)
+        op = sim.system.op
+        st = sim.init_state()
+        x = State(st.A + 1.0, st.U)
+
+        @jax.jit
+        def chain(s):
+            def body(_, s):
+                y = op.apply(s)
+                return State(y.A * 1e-2, y.U * 1e-2)
+            s = jax.lax.fori_loop(0, R, body, s)
+            return jnp.sum(s.A) + jnp.sum(s.U)
+
+        _force(chain(x))
+        t0 = time.perf_counter()
+        _force(chain(x))
+        return (time.perf_counter() - t0) / R
+
+    t1 = time_matvec(base_z, None)
+    tN = time_matvec(base_z * d, make_mesh(d, 1))
+    eff = d * t1 / tN
+    return _emit(f"weak_scaling_{d}dev", eff,
+                 "matvec efficiency (1.0 = ideal; N virtual devices share one host)",
+                 eff / 0.8, t1_ms=round(t1 * 1e3, 3), tN_ms=round(tN * 1e3, 3),
+                 devices=d)
+
+
+def run_scale256(args) -> int:
+    """BASELINE's 'scaled to 256^3-class' config: a large synthetic static
+    case on the production stencil path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    shape = tuple(int(v) for v in args.shape.split(","))
+    model = load_case(case_static(shape_xyz=shape, steps=3))
+    sim = Simulation(model, dtype=jnp.float32)
+    nnz = (3 * np.count_nonzero(sim.system.np_ka)
+           + np.count_nonzero(sim.system.np_gu)
+           + np.count_nonzero(sim.system.np_ku)
+           + np.count_nonzero(sim.system.np_da))
+    state = sim.init_state()
+    state, _ = sim._step_jit(state, 0.0)
+    _force(state.A)
+    iters = 0
+    t0 = time.perf_counter()
+    for t in (1e-3, 2e-3):
+        state, info = sim._step_jit(state, t)
+        iters += int(info.iterations)
+    _force(state.A)
+    per_step = (time.perf_counter() - t0) / 2
+    cells = shape[0] * shape[1] * shape[2]
+    return _emit("scale256_time_per_step", per_step, "s/step",
+                 nnz * (iters / 2) * 2 / per_step / 1e6,  # solver Mnnz/s
+                 cells=cells, nnz=int(nnz), iters_per_step=iters / 2)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="team7", choices=sorted(BASELINES))
     ap.add_argument("--steps", type=int, default=None, help="limit step count")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--mode", default="e2e",
+                    choices=["e2e", "roofline", "scaling", "scale256"])
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual device count for --mode scaling")
+    ap.add_argument("--shape", default="256,256,64",
+                    help="grid for --mode scale256 (nx,ny,nz)")
     args = ap.parse_args()
+
+    if args.mode == "scaling":
+        # must happen before jax import
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
 
     import jax
 
-    if args.cpu:
+    if args.cpu or args.mode == "scaling":
         jax.config.update("jax_platforms", "cpu")
+
+    if args.mode == "roofline":
+        return run_roofline(args)
+    if args.mode == "scaling":
+        return run_scaling(args)
+    if args.mode == "scale256":
+        return run_scale256(args)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -57,20 +319,19 @@ def main() -> int:
     sim = Simulation(model, dtype=dtype)
     n_steps = args.steps if args.steps is not None else len(sim.steps)
 
-    # compile once on a throwaway state (first step dominates otherwise)
-    warm = sim.init_state()
-    warm, _ = sim._step_jit(warm, 0.0)
-    jax.block_until_ready(warm)
+    # compile once on a throwaway state (first step dominates otherwise);
+    # the timed transient runs as ONE on-device lax.scan dispatch
+    warm, _ = sim.run_scan(num_steps=n_steps)
+    _force(warm.A)
     del warm
 
-    state = sim.init_state()
     t0 = time.perf_counter()
-    total_iters = 0
-    last_converged = True
-    for t, _ in sim.steps[:n_steps]:
-        state, info = sim._step_jit(state, t)
-    jax.block_until_ready(state)
+    state, diag = sim.run_scan(num_steps=n_steps)
+    _force(state.A)          # true device-completion barrier (see _force)
     wall = time.perf_counter() - t0
+    if not bool(jnp.all(diag["converged"])):
+        print(json.dumps({"error": "unconverged steps in benchmark run"}))
+        return 1
     per_step = wall / n_steps
 
     print(

@@ -15,9 +15,12 @@ construction — grid-face rows drop their outward neighbor
 (EC3D.f90:528-643), padding rows carry zero coefficients, and the
 conductor-box fields are zero within the 2-cell halo of the box faces.
 
-Two kernels, both gridded over z-planes with neighbor planes passed via
-clamped index maps (the clamped duplicate plane is multiplied by a zero
-coefficient at the boundary):
+Two kernels, both gridded over (z-plane, y-tile) with neighbor blocks passed
+via clamped index maps (the clamped duplicate block is multiplied by a zero
+coefficient at the boundary).  The y-tile height adapts to the row width so
+each grid step's working set fits VMEM (~16 MB/core) at any grid size;
+y-shifts across tile boundaries stitch edge rows from the jy +- 1 neighbor
+blocks:
 
 * A-block: the shared 7-point stencil applied to all three components.
 * U-coupling: grad-U into the A rows (5 offsets along each axis), the U-row
@@ -74,7 +77,7 @@ def _i32map(f):
     """Force a BlockSpec index map to yield int32 indices: under x64 mode
     Python-int constants in the map trace as i64 and Mosaic rejects the
     mixed (i64, i32, ...) index tuple."""
-    return lambda z: tuple(jnp.asarray(v, jnp.int32) for v in f(z))
+    return lambda *g: tuple(jnp.asarray(v, jnp.int32) for v in f(*g))
 
 
 def _roll(x, shift, axis):
@@ -84,45 +87,98 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, jnp.int32(shift % x.shape[axis]), axis=axis)
 
 
+def _shift_y(x0, xm, xp, shift, axis):
+    """Shifted-along-y view of the current y-tile: result[.., i, ..] =
+    x[.., i - shift, ..] with the out-of-tile rows stitched from the
+    neighbor tiles (xm = tile jy-1, xp = tile jy+1)."""
+    idx_lo = lambda a, k: tuple(
+        slice(None) if d != axis else slice(None, k) for d in range(a.ndim))
+    idx_hi = lambda a, k: tuple(
+        slice(None) if d != axis else slice(-k, None) for d in range(a.ndim))
+    if shift > 0:      # rows come from the -y side
+        return jnp.concatenate(
+            [xm[idx_hi(xm, shift)], x0[idx_lo(x0, x0.shape[axis] - shift)]], axis)
+    if shift < 0:
+        k = -shift
+        return jnp.concatenate(
+            [x0[idx_hi(x0, x0.shape[axis] - k)], xp[idx_lo(xp, k)]], axis)
+    return x0
+
+
+def _tile_y(nyp_rows: int, row_width: int, n_blocks: int, itemsize: int = 4) -> int:
+    """Largest multiple-of-8 y-tile height whose ~n_blocks working set
+    (double-buffered) stays within a conservative VMEM budget."""
+    budget = 6 * 1024 * 1024
+    ty = budget // max(1, 2 * n_blocks * row_width * itemsize)
+    ty = max(8, (ty // 8) * 8)
+    return min(ty, nyp_rows)
+
+
 # ---------------------------------------------------------------------------
 # A-block kernel: y[c] = sum_7 ka_o * shift_o(A[c]) for c in 0..2
 # ---------------------------------------------------------------------------
 
-def _a_kernel(ka_ref, am_ref, a0_ref, ap_ref, out_ref):
-    a0 = a0_ref[:, 0]                 # (3, NYp, NXp)
+def _a_kernel(ka_ref, am_ref, ap_ref, aym_ref, ayp_ref, a0_ref, out_ref):
+    a0 = a0_ref[:, 0]                 # (3, TY, NXp)
     y = ka_ref[0, 0][None] * a0
     y += ka_ref[1, 0][None] * _roll(a0, 1, 2)    # -x neighbor
     y += ka_ref[2, 0][None] * _roll(a0, -1, 2)   # +x neighbor
-    y += ka_ref[3, 0][None] * _roll(a0, 1, 1)    # -y
-    y += ka_ref[4, 0][None] * _roll(a0, -1, 1)   # +y
+    y += ka_ref[3, 0][None] * _shift_y(a0, aym_ref[:, 0], ayp_ref[:, 0], 1, 1)
+    y += ka_ref[4, 0][None] * _shift_y(a0, aym_ref[:, 0], ayp_ref[:, 0], -1, 1)
     y += ka_ref[5, 0][None] * am_ref[:, 0]       # -z
     y += ka_ref[6, 0][None] * ap_ref[:, 0]       # +z
     out_ref[:, 0] = y
 
 
+def _a_kernel_1tile(ka_ref, am_ref, ap_ref, a0_ref, out_ref):
+    """Single-y-tile fast path: y-shifts are in-VMEM rolls (wrapped rows are
+    killed by zero boundary/padding coefficients), so A streams 3x per
+    matvec instead of 5x."""
+    a0 = a0_ref[:, 0]
+    y = ka_ref[0, 0][None] * a0
+    y += ka_ref[1, 0][None] * _roll(a0, 1, 2)
+    y += ka_ref[2, 0][None] * _roll(a0, -1, 2)
+    y += ka_ref[3, 0][None] * _roll(a0, 1, 1)
+    y += ka_ref[4, 0][None] * _roll(a0, -1, 1)
+    y += ka_ref[5, 0][None] * am_ref[:, 0]
+    y += ka_ref[6, 0][None] * ap_ref[:, 0]
+    out_ref[:, 0] = y
+
+
 def _apply_a(ka_p: jax.Array, A_p: jax.Array) -> jax.Array:
     nz, NYp, NXp = A_p.shape[1:]
+    # blocks per grid step: ka 7 + A 5x3 + out 3
+    TY = _tile_y(NYp, NXp, 25, A_p.dtype.itemsize)
+    if NYp % TY:  # NYp is a multiple of 8, TY of 8; repad via smaller tile
+        TY = next(t for t in range(TY, 7, -8) if NYp % t == 0)
+    nyt = NYp // TY
+    clamp = lambda v, n: jnp.clip(v, 0, n - 1)
     plane = lambda *lead: pl.BlockSpec(
-        lead + (1, NYp, NXp),
-        _i32map(lambda z, _n=len(lead): (0,) * _n + (z, 0, 0)),
+        lead + (1, TY, NXp),
+        _i32map(lambda z, j, _n=len(lead): (0,) * _n + (z, j, 0)),
         memory_space=pltpu.VMEM,
     )
-    a_at = lambda fz: pl.BlockSpec(
-        (3, 1, NYp, NXp), _i32map(lambda z: (0, fz(z), 0, 0)), memory_space=pltpu.VMEM
+    a_at = lambda fz, fj=lambda j: j: pl.BlockSpec(
+        (3, 1, TY, NXp),
+        _i32map(lambda z, j: (0, fz(z), clamp(fj(j), nyt), 0)),
+        memory_space=pltpu.VMEM,
     )
+    one_tile = nyt == 1
     return pl.pallas_call(
-        _a_kernel,
-        grid=(nz,),
+        _a_kernel_1tile if one_tile else _a_kernel,
+        grid=(nz, nyt),
         in_specs=[
             plane(7),
             a_at(lambda z: jnp.maximum(z - 1, 0)),
-            a_at(lambda z: z),
             a_at(lambda z: jnp.minimum(z + 1, nz - 1)),
-        ],
+        ] + ([] if one_tile else [
+            a_at(lambda z: z, lambda j: j - 1),
+            a_at(lambda z: z, lambda j: j + 1),
+        ]) + [a_at(lambda z: z)],
         out_specs=a_at(lambda z: z),
         out_shape=jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
         interpret=INTERPRET,
-    )(ka_p, A_p, A_p, A_p)
+    )(*((ka_p,) + (A_p,) * (3 if one_tile else 5)))
 
 
 # ---------------------------------------------------------------------------
@@ -133,15 +189,19 @@ def _apply_a(ka_p: jax.Array, A_p: jax.Array) -> jax.Array:
 
 def _u_kernel(gu_ref, ku_ref, da_ref,
               um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
+              uym_ref, uyp_ref,
               abm_ref, ab0_ref, abp_ref,
+              abym_ref, abyp_ref,
               gout_ref, uout_ref):
-    u0 = u0_ref[0]                   # (BY, BX)
+    u0 = u0_ref[0]                   # (TY, BX)
+    uym, uyp = uym_ref[0], uyp_ref[0]
+    shy = lambda s: _shift_y(u0, uym, uyp, s, 0)
     gx = (gu_ref[0, 2, 0] * u0
           + gu_ref[0, 1, 0] * _roll(u0, 1, 1) + gu_ref[0, 3, 0] * _roll(u0, -1, 1)
           + gu_ref[0, 0, 0] * _roll(u0, 2, 1) + gu_ref[0, 4, 0] * _roll(u0, -2, 1))
     gy = (gu_ref[1, 2, 0] * u0
-          + gu_ref[1, 1, 0] * _roll(u0, 1, 0) + gu_ref[1, 3, 0] * _roll(u0, -1, 0)
-          + gu_ref[1, 0, 0] * _roll(u0, 2, 0) + gu_ref[1, 4, 0] * _roll(u0, -2, 0))
+          + gu_ref[1, 1, 0] * shy(1) + gu_ref[1, 3, 0] * shy(-1)
+          + gu_ref[1, 0, 0] * shy(2) + gu_ref[1, 4, 0] * shy(-2))
     gz = (gu_ref[2, 2, 0] * u0
           + gu_ref[2, 1, 0] * um1_ref[0] + gu_ref[2, 3, 0] * up1_ref[0]
           + gu_ref[2, 0, 0] * um2_ref[0] + gu_ref[2, 4, 0] * up2_ref[0])
@@ -151,7 +211,41 @@ def _u_kernel(gu_ref, ku_ref, da_ref,
 
     yu = (ku_ref[0, 0] * u0
           + ku_ref[1, 0] * _roll(u0, 1, 1) + ku_ref[2, 0] * _roll(u0, -1, 1)
-          + ku_ref[3, 0] * _roll(u0, 1, 0) + ku_ref[4, 0] * _roll(u0, -1, 0)
+          + ku_ref[3, 0] * shy(1) + ku_ref[4, 0] * shy(-1)
+          + ku_ref[5, 0] * um1_ref[0] + ku_ref[6, 0] * up1_ref[0])
+    ax, ay, az = ab0_ref[0, 0], ab0_ref[1, 0], ab0_ref[2, 0]
+    yu += (da_ref[0, 1, 0] * ax
+           + da_ref[0, 0, 0] * _roll(ax, 1, 1) + da_ref[0, 2, 0] * _roll(ax, -1, 1))
+    yu += (da_ref[1, 1, 0] * ay
+           + da_ref[1, 0, 0] * _shift_y(ay, abym_ref[1, 0], abyp_ref[1, 0], 1, 0)
+           + da_ref[1, 2, 0] * _shift_y(ay, abym_ref[1, 0], abyp_ref[1, 0], -1, 0))
+    yu += da_ref[2, 1, 0] * az + da_ref[2, 0, 0] * abm_ref[2, 0] + da_ref[2, 2, 0] * abp_ref[2, 0]
+    uout_ref[0] = yu
+
+
+def _u_kernel_1tile(gu_ref, ku_ref, da_ref,
+                    um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
+                    abm_ref, ab0_ref, abp_ref,
+                    gout_ref, uout_ref):
+    """Single-y-tile fast path: y-shifts as in-VMEM rolls (see _a_kernel_1tile)."""
+    u0 = u0_ref[0]
+    shy = lambda s: _roll(u0, s, 0)
+    gx = (gu_ref[0, 2, 0] * u0
+          + gu_ref[0, 1, 0] * _roll(u0, 1, 1) + gu_ref[0, 3, 0] * _roll(u0, -1, 1)
+          + gu_ref[0, 0, 0] * _roll(u0, 2, 1) + gu_ref[0, 4, 0] * _roll(u0, -2, 1))
+    gy = (gu_ref[1, 2, 0] * u0
+          + gu_ref[1, 1, 0] * shy(1) + gu_ref[1, 3, 0] * shy(-1)
+          + gu_ref[1, 0, 0] * shy(2) + gu_ref[1, 4, 0] * shy(-2))
+    gz = (gu_ref[2, 2, 0] * u0
+          + gu_ref[2, 1, 0] * um1_ref[0] + gu_ref[2, 3, 0] * up1_ref[0]
+          + gu_ref[2, 0, 0] * um2_ref[0] + gu_ref[2, 4, 0] * up2_ref[0])
+    gout_ref[0, 0] = gx
+    gout_ref[1, 0] = gy
+    gout_ref[2, 0] = gz
+
+    yu = (ku_ref[0, 0] * u0
+          + ku_ref[1, 0] * _roll(u0, 1, 1) + ku_ref[2, 0] * _roll(u0, -1, 1)
+          + ku_ref[3, 0] * shy(1) + ku_ref[4, 0] * shy(-1)
           + ku_ref[5, 0] * um1_ref[0] + ku_ref[6, 0] * up1_ref[0])
     ax, ay, az = ab0_ref[0, 0], ab0_ref[1, 0], ab0_ref[2, 0]
     yu += (da_ref[0, 1, 0] * ax
@@ -164,34 +258,51 @@ def _u_kernel(gu_ref, ku_ref, da_ref,
 
 def _apply_u(gu_p, ku_p, da_p, Ub_p, Ab_p):
     bz, BYp, BXp = Ub_p.shape
-    u_at = lambda fz: pl.BlockSpec(
-        (1, BYp, BXp), _i32map(lambda z: (fz(z), 0, 0)), memory_space=pltpu.VMEM
+    # blocks per grid step: gu 15 + ku 7 + da 9 + u 7 + A 5x3 + out 4
+    TY = _tile_y(BYp, BXp, 57, Ub_p.dtype.itemsize)
+    if BYp % TY:
+        TY = next(t for t in range(TY, 7, -8) if BYp % t == 0)
+    nyt = BYp // TY
+    clampj = lambda v: jnp.clip(v, 0, nyt - 1)
+    u_at = lambda fz, fj=lambda j: j: pl.BlockSpec(
+        (1, TY, BXp), _i32map(lambda z, j: (fz(z), clampj(fj(j)), 0)),
+        memory_space=pltpu.VMEM,
     )
-    a_at = lambda fz: pl.BlockSpec(
-        (3, 1, BYp, BXp), _i32map(lambda z: (0, fz(z), 0, 0)), memory_space=pltpu.VMEM
+    a_at = lambda fz, fj=lambda j: j: pl.BlockSpec(
+        (3, 1, TY, BXp), _i32map(lambda z, j: (0, fz(z), clampj(fj(j)), 0)),
+        memory_space=pltpu.VMEM,
     )
     lead = lambda *ld: pl.BlockSpec(
-        ld + (1, BYp, BXp),
-        _i32map(lambda z, _n=len(ld): (0,) * _n + (z, 0, 0)),
+        ld + (1, TY, BXp),
+        _i32map(lambda z, j, _n=len(ld): (0,) * _n + (z, j, 0)),
         memory_space=pltpu.VMEM,
     )
     lo = lambda d: (lambda z: jnp.maximum(z - d, 0))
     hi = lambda d: (lambda z: jnp.minimum(z + d, bz - 1))
+    ident = lambda z: z
+    one_tile = nyt == 1
+    in_specs = [
+        lead(3, 5), lead(7), lead(3, 3),
+        u_at(lo(2)), u_at(lo(1)), u_at(ident), u_at(hi(1)), u_at(hi(2)),
+    ] + ([] if one_tile else [
+        u_at(ident, lambda j: j - 1), u_at(ident, lambda j: j + 1),
+    ]) + [
+        a_at(lo(1)), a_at(ident), a_at(hi(1)),
+    ] + ([] if one_tile else [
+        a_at(ident, lambda j: j - 1), a_at(ident, lambda j: j + 1),
+    ])
+    n_u, n_a = (5, 3) if one_tile else (7, 5)
     gout, uout = pl.pallas_call(
-        _u_kernel,
-        grid=(bz,),
-        in_specs=[
-            lead(3, 5), lead(7), lead(3, 3),
-            u_at(lo(2)), u_at(lo(1)), u_at(lambda z: z), u_at(hi(1)), u_at(hi(2)),
-            a_at(lo(1)), a_at(lambda z: z), a_at(hi(1)),
-        ],
-        out_specs=(a_at(lambda z: z), u_at(lambda z: z)),
+        _u_kernel_1tile if one_tile else _u_kernel,
+        grid=(bz, nyt),
+        in_specs=in_specs,
+        out_specs=(a_at(ident), u_at(ident)),
         out_shape=(
             jax.ShapeDtypeStruct(Ab_p.shape, Ab_p.dtype),
             jax.ShapeDtypeStruct(Ub_p.shape, Ub_p.dtype),
         ),
         interpret=INTERPRET,
-    )(gu_p, ku_p, da_p, Ub_p, Ub_p, Ub_p, Ub_p, Ub_p, Ab_p, Ab_p, Ab_p)
+    )(gu_p, ku_p, da_p, *((Ub_p,) * n_u), *((Ab_p,) * n_a))
     return gout, uout
 
 

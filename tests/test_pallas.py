@@ -80,3 +80,18 @@ def test_simulation_with_pallas_matches_plain():
                                atol=1e-9 * scale)
     np.testing.assert_allclose(np.asarray(pal_state.carry), np.asarray(ref_state.carry),
                                atol=1e-9 * max(np.abs(np.asarray(ref_state.carry)).max(), 1e-30))
+
+
+def test_pallas_apply_multi_ytile(rng, monkeypatch):
+    """Force several y-tiles so the cross-tile y-shift stitching runs."""
+    monkeypatch.setattr(pallas_stencil, "_tile_y", lambda *a, **k: 8)
+    model = load_case(case_static(shape_xyz=(14, 29, 11), steps=2))  # NYp=32 -> 4 tiles
+    sysm = assemble_operator(model, jnp.float64)
+    pop = pallas_stencil.from_assembled(sysm)
+    st = _rand_state(model, sysm, rng)
+    y_ref = sysm.op.apply(st)
+    y_pal = pop.unpad_state(pop.apply(pop.pad_state(st)))
+    np.testing.assert_allclose(np.asarray(y_pal.A), np.asarray(y_ref.A),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_pal.U), np.asarray(y_ref.U),
+                               rtol=1e-12, atol=1e-12)
