@@ -107,9 +107,26 @@ class Simulation:
             else None
         )
 
-        if precond not in (None, "cheb", "jacobi", "cheb_jacobi"):
+        if precond not in (None, "cheb", "jacobi", "cheb_jacobi", "mg"):
             raise ValueError(f"unknown preconditioner {precond!r}")
         self.precond = precond
+        if precond == "mg":
+            # geometric V-cycle on the shared A-block stencil (built in the
+            # solve space: padded coefficients when the Pallas path is on)
+            from ..solvers.multigrid import build_mg
+            if self.pallas_op is not None:
+                ka_mg = self.pallas_op.ka_p
+                ku0 = np.zeros(ka_mg.shape[1:])
+                if self.pallas_op.box is not None:
+                    z0, z1, y0, y1, x0, x1 = self.pallas_op.box
+                    ku0[z0:z1, y0:y1, x0:x1] = np.asarray(self.pallas_op.ku_p[0])
+            else:
+                ka_mg = self.system.op.ka
+                ku0 = np.zeros(ka_mg.shape[1:])
+                if self.system.op.box is not None:
+                    z0, z1, y0, y1, x0, x1 = self.system.op.box
+                    ku0[z0:z1, y0:y1, x0:x1] = np.asarray(self.system.op.ku[0])
+            self._mg = build_mg(ka_mg, ku0=ku0, dtype=dtype)
         if precond == "cheb_jacobi":
             # Gershgorin bound of the diagonally-scaled operator D^-1 A
             # (similar to A D^-1): max row sum of |a_ij| / d_i.  On the
@@ -282,6 +299,13 @@ class Simulation:
                     tol, model.solver.itmax, dot_dtype=self.dot_dtype,
                 )
             sol_x = mul(inv, res.x)
+        elif self.precond == "mg":
+            from ..solvers.bicgstab import bicgstab_wr_right
+            res = bicgstab_wr_right(
+                apply_fn, self._mg.apply, bb, xx0, tol, model.solver.itmax,
+                dot_dtype=self.dot_dtype,
+            )
+            sol_x = res.x
         else:
             res = bicgstab_wr(
                 apply_fn, bb, xx0, tol, model.solver.itmax, dot_dtype=self.dot_dtype,

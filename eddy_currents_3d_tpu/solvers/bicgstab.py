@@ -24,7 +24,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bicgstab_wr", "tree_dot", "tree_norm", "tree_axpy", "SolveResult"]
+__all__ = ["bicgstab_wr", "bicgstab_wr_right", "tree_dot", "tree_norm",
+           "tree_axpy", "SolveResult"]
 
 
 def tree_dot(a, b, dtype=None):
@@ -144,3 +145,43 @@ def bicgstab_wr(
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(x=out.x, iterations=out.it, relres=out.relres,
                        converged=out.done)
+
+
+def bicgstab_wr_right(
+    apply_fn: Callable,
+    minv: Callable,
+    b,
+    x0,
+    tol,
+    itmax,
+    dot_dtype: Optional[jnp.dtype] = None,
+) -> SolveResult:
+    """Right-preconditioned BiCGSTABwr in delta form for any linear
+    ``minv ~= A^-1`` (Chebyshev, V-cycle, triangular sweeps, ...).
+
+    Solves ``(A M^-1) dhat = b - A x0`` from zero and returns
+    ``x = x0 + M^-1 dhat``; the inner tolerance is rescaled by
+    ``||b|| / ||b - A x0||`` so the stop test remains exactly
+    ``||b - A x|| / ||b|| < tol`` — the reference criterion
+    (solvers.f90:34-43) — and converged solutions are interchangeable with
+    unpreconditioned ones at the same tolerance."""
+    wrapped = lambda v: apply_fn(minv(v))
+
+    r0 = tree_axpy(-1.0, apply_fn(x0), b)
+    bnorm = tree_norm(b, dot_dtype)
+    rnorm = tree_norm(r0, dot_dtype)
+    safe_r = jnp.where(rnorm == 0, 1.0, rnorm)
+    safe_b = jnp.where(bnorm == 0, 1.0, bnorm)
+    tol_eff = tol * bnorm / safe_r
+
+    zero = jax.tree.map(jnp.zeros_like, b)
+    res = bicgstab_wr(wrapped, r0, zero, tol_eff, itmax, dot_dtype=dot_dtype)
+    x = jax.tree.map(jnp.add, x0, minv(res.x))
+    already = rnorm <= tol * bnorm   # warm start already converged (or b=0)
+    x = jax.tree.map(lambda xi, x0i: jnp.where(already, x0i, xi), x, x0)
+    return SolveResult(
+        x=x,
+        iterations=jnp.where(already, 0, res.iterations),
+        relres=jnp.where(already, rnorm / safe_b, res.relres * safe_r / safe_b),
+        converged=already | res.converged,
+    )
