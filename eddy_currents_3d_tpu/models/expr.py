@@ -46,6 +46,7 @@ from dataclasses import dataclass
 from typing import Callable, Mapping, Sequence
 
 import jax.numpy as jnp
+import numpy as _np
 
 __all__ = ["Expression", "compile_expression", "ExprError"]
 
@@ -129,6 +130,58 @@ def _anint(x):
     # Fortran ANINT: round half away from zero (jnp.round is half-to-even).
     x = jnp.asarray(x)
     return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
+
+
+# Host (pure-Python/math) backend: same semantics as the jnp table below.
+# Used whenever every operand is a plain scalar — constant-expression folding
+# in the .vxc reader must NOT dispatch eager device ops (each eager op over a
+# remote-TPU tunnel costs ~1 s; a model file evaluates hundreds of constants).
+def _h_safe_div(a, b):
+    return 0.0 if b == 0 else a / b
+
+
+def _h_anint(x):
+    return float(math.trunc(x + (0.5 if x >= 0 else -0.5)))
+
+
+def _h1(np_fn):
+    """Scalar host wrapper over a numpy ufunc: nan/inf on domain errors,
+    exactly like the jnp table (math.* would raise instead)."""
+
+    def call(x):
+        with _np.errstate(all="ignore"):
+            return float(np_fn(_np.float64(x)))
+
+    return call
+
+
+_HOST_FUNCS: dict[str, Callable] = {
+    "ABS": lambda x: float(abs(x)),
+    "EXP": _h1(_np.exp),
+    "LG": lambda x: float(_np.log10(_np.float64(x))) if x > 0 else 0.0,
+    "LN": _h1(_np.log),
+    "SQRT": _h1(_np.sqrt),
+    "SH": _h1(_np.sinh),
+    "CH": _h1(_np.cosh),
+    "TH": _h1(_np.tanh),
+    "CTH": lambda x: _h_safe_div(math.cosh(x), math.sinh(x)),
+    "SIND": lambda x: math.sin(x * _DEG),
+    "COSD": lambda x: math.cos(x * _DEG),
+    "TGD": lambda x: math.tan(x * _DEG),
+    "SIN": math.sin,
+    "COS": math.cos,
+    "TG": math.tan,
+    "ASIN": lambda x: math.asin(max(-1.0, min(1.0, x))) if abs(x) <= 1 else 0.0,
+    "ACOS": lambda x: math.acos(max(-1.0, min(1.0, x))) if abs(x) <= 1 else 0.0,
+    "IMPLS": lambda x: 1.0 if x > 0 else 0.0,
+    "IMPL2": lambda x: 1.0 if x >= 0 else -1.0,
+    "POS": lambda x: x if x > 0 else 0.0,
+    "INT": lambda x: float(math.trunc(x)),
+    "NINT": _h_anint,
+    "FLOOR": lambda x: float(math.floor(x)),
+    "CEIL": lambda x: float(math.ceil(x)),
+    "ATG": math.atan,
+}
 
 
 _FUNCS: dict[str, Callable] = {
@@ -251,7 +304,7 @@ def _free_vars(node, out: set[str]):
         _free_vars(node.arg, out)
 
 
-def _eval(node, env: Mapping[str, object]):
+def _eval(node, env: Mapping[str, object], host: bool = False):
     if isinstance(node, _Num):
         return node.value
     if isinstance(node, _Var):
@@ -260,10 +313,10 @@ def _eval(node, env: Mapping[str, object]):
         except KeyError:
             raise ExprError(f"unbound variable {node.name!r}") from None
     if isinstance(node, _Un):
-        return -_eval(node.arg, env)
+        return -_eval(node.arg, env, host)
     if isinstance(node, _Bin):
-        a = _eval(node.lhs, env)
-        b = _eval(node.rhs, env)
+        a = _eval(node.lhs, env, host)
+        b = _eval(node.rhs, env, host)
         if node.op == "+":
             return a + b
         if node.op == "-":
@@ -271,11 +324,27 @@ def _eval(node, env: Mapping[str, object]):
         if node.op == "*":
             return a * b
         if node.op == "/":
-            return _safe_div(a, b)
-        return jnp.power(a, b) if not (isinstance(a, float) and isinstance(b, float)) else a ** b
+            return _h_safe_div(a, b) if host else _safe_div(a, b)
+        if host:
+            with _np.errstate(all="ignore"):
+                return float(_np.power(_np.float64(a), _np.float64(b)))
+        if isinstance(a, float) and isinstance(b, float):
+            return a ** b
+        return jnp.power(a, b)
     if isinstance(node, _Call):
-        return _FUNCS[node.fn](_eval(node.arg, env))
+        table = _HOST_FUNCS if host else _FUNCS
+        return table[node.fn](_eval(node.arg, env, host))
     raise TypeError(node)
+
+
+def _all_host_scalars(env: Mapping[str, object], names: frozenset[str]) -> bool:
+    for k in names:
+        v = env.get(k)
+        if v is None:
+            continue
+        if not isinstance(v, (int, float, _np.integer, _np.floating)):
+            return False
+    return True
 
 
 @dataclass(frozen=True)
@@ -290,6 +359,11 @@ class Expression:
     def __call__(self, env: Mapping[str, object] | None = None, **kwargs):
         merged = {k.upper(): v for k, v in (env or {}).items()}
         merged.update({k.upper(): v for k, v in kwargs.items()})
+        # Constant folding (all plain scalars) runs on the host — eager device
+        # dispatch is ~1 s/op over a remote-TPU tunnel. Traced/array operands
+        # take the jnp path so calls inside jit stay part of the graph.
+        if _all_host_scalars(merged, self.variables):
+            return _eval(self.root, merged, host=True)
         return _eval(self.root, merged)
 
 
