@@ -30,9 +30,17 @@ def make_mesh(n_z: int | None = None, n_y: int = 1, devices=None) -> Mesh:
     return Mesh(devices[: n_z * n_y].reshape(n_z, n_y), ("z", "y"))
 
 
-def grid_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Sharding for an array whose trailing 3 dims are (z, y, x)."""
+def grid_sharding(mesh: Mesh, ndim: int, shape=None) -> NamedSharding:
+    """Sharding for an array whose trailing 3 dims are (z, y, x).  When the
+    shape is given, axes whose extent the mesh does not divide evenly fall
+    back to replication (device_put requires even splits; the solver-side
+    padded arrays inside the shard_map tier are always evenly divisible)."""
     spec = [None] * (ndim - 3) + ["z", "y", None]
+    if shape is not None:
+        if shape[-3] % mesh.shape["z"]:
+            spec[-3] = None
+        if shape[-2] % mesh.shape.get("y", 1):
+            spec[-2] = None
     return NamedSharding(mesh, P(*spec))
 
 
@@ -42,7 +50,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def _put_grid(x, mesh):
     if hasattr(x, "ndim") and x.ndim >= 3:
-        return jax.device_put(x, grid_sharding(mesh, x.ndim))
+        return jax.device_put(x, grid_sharding(mesh, x.ndim, x.shape))
     return jax.device_put(x, replicated(mesh))
 
 

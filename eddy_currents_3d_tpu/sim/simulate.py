@@ -85,27 +85,50 @@ class Simulation:
         precond: Optional[str] = None,
         cheb_order: int = 4,
         cheb_ratio: float = 30.0,
+        use_shard_map: Optional[bool] = None,
+        coeff_dtype=None,
     ):
         self.model = model
         self.dtype = dtype
         self.dot_dtype = dot_dtype
         self.mesh = mesh
         self.system = system if system is not None else assemble_operator(model, dtype)
+        if coeff_dtype is not None and coeff_dtype != self.system.op.dtype:
+            # mixed precision: coefficient streams in coeff_dtype (bf16
+            # halves the dominant HBM traffic of the matvec), state and
+            # accumulation stay in `dtype` (bf16 x f32 promotes to f32) —
+            # the solved operator is A rounded entrywise to coeff_dtype
+            import dataclasses
+            self.system = dataclasses.replace(
+                self.system, op=self.system.op.astype(coeff_dtype))
+        self.coeff_dtype = coeff_dtype
 
         # fused Pallas matvec on single-device TPU runs (the jnp fallback is
-        # used for CPU and for SPMD mesh runs, where XLA partitions the ops).
+        # used for CPU; mesh runs use the explicit shard_map tier below).
         # f64 is excluded: the TPU custom-call has no x64-rewrite path.
         from ..ops import pallas_stencil
         if use_pallas is None:
             use_pallas = (
-                mesh is None
-                and pallas_stencil.pallas_available()
+                pallas_stencil.pallas_available()
                 and jnp.dtype(dtype).itemsize <= 4
             )
         self.pallas_op = (
             pallas_stencil.from_assembled(self.system) if use_pallas and mesh is None
             else None
         )
+
+        # explicit multi-chip tier: z-slab shard_map with halo ppermute and
+        # per-shard fused kernels (parallel/shard_op.py).  Falls back to the
+        # GSPMD flat-roll tier for y-column meshes and for the mg
+        # preconditioner (whose V-cycle is built in unpadded space).
+        self.shard_op = None
+        if mesh is not None:
+            if use_shard_map is None:
+                use_shard_map = mesh.shape.get("y", 1) == 1 and precond != "mg"
+            if use_shard_map:
+                from ..parallel.shard_op import ShardedStencilOperator
+                self.shard_op = ShardedStencilOperator(
+                    self.system, mesh, dtype, use_pallas=bool(use_pallas))
 
         if precond not in (None, "cheb", "jacobi", "cheb_jacobi", "mg"):
             raise ValueError(f"unknown preconditioner {precond!r}")
@@ -146,11 +169,14 @@ class Simulation:
         if precond in ("jacobi", "cheb_jacobi"):
             # right-Jacobi: solve (A D^-1) y = b, x = D^-1 y — the residual
             # history/convergence test stays that of the original system
-            d = self.system.op.diagonal()
-            if self.pallas_op is not None:
-                d = self.pallas_op.pad_state(d)
-                d = State(jnp.where(d.A == 0, 1.0, d.A).astype(dtype),
-                          jnp.where(d.U == 0, 1.0, d.U).astype(dtype))
+            if self.shard_op is not None:
+                d = self.shard_op.diagonal_padded()
+            else:
+                d = self.system.op.diagonal()
+                if self.pallas_op is not None:
+                    d = self.pallas_op.pad_state(d)
+                    d = State(jnp.where(d.A == 0, 1.0, d.A).astype(dtype),
+                              jnp.where(d.U == 0, 1.0, d.U).astype(dtype))
             self._jac_d = d
             self._jac_inv = State((1.0 / d.A).astype(dtype),
                                   (1.0 / d.U).astype(dtype))
@@ -202,7 +228,9 @@ class Simulation:
             self._shard_state = lambda s: s
 
         self._step_jit = jax.jit(self._step, donate_argnums=(0,) if donate else ())
-        self._scan_jit = None   # built lazily by run_scan
+        self._scan_jit = {}   # built lazily by run_scan (keyed on output on/off)
+        self._seg_jit = {}    # chunked-scan segments, keyed on length
+        self._io_cb_ok = None  # lazily probed: backend supports io_callback?
 
     # ------------------------------------------------------------------
     def init_state(self) -> SimState:
@@ -256,7 +284,8 @@ class Simulation:
 
         nzyx = self.model.shape_zyx
         rhs_A = base.reshape((3,) + nzyx) + inert[None] * state.A
-        rhs_U = op.apply_div(state.A)
+        div_op = self.shard_op if self.shard_op is not None else op
+        rhs_U = div_op.apply_div(state.A)
         rhs_A = jnp.where(sysm.bnd_a, 0.0, rhs_A)
         rhs_U = jnp.where(sysm.bnd_u_any, 0.0, rhs_U)
 
@@ -264,11 +293,12 @@ class Simulation:
         b = State(rhs_A, rhs_U)
         x0 = State(state.A, state.U)
         tol = jnp.asarray(model.solver.tolerance, self.dtype)
-        if self.pallas_op is not None:
+        pad_op = self.shard_op if self.shard_op is not None else self.pallas_op
+        if pad_op is not None:
             apply_fn, bb, xx0 = (
-                self.pallas_op.apply,
-                self.pallas_op.pad_state(b),
-                self.pallas_op.pad_state(x0),
+                pad_op.apply,
+                pad_op.pad_state(b),
+                pad_op.pad_state(x0),
             )
         else:
             apply_fn, bb, xx0 = op.apply, b, x0
@@ -311,7 +341,7 @@ class Simulation:
                 apply_fn, bb, xx0, tol, model.solver.itmax, dot_dtype=self.dot_dtype,
             )
             sol_x = res.x
-        sol = self.pallas_op.unpad_state(sol_x) if self.pallas_op is not None else sol_x
+        sol = pad_op.unpad_state(sol_x) if pad_op is not None else sol_x
         A_new, U_new = sol.A, sol.U
 
         # ---- post-solve inertial carry + surface zeroing (EC3D.f90:412-432)
@@ -331,16 +361,22 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def run_scan(self, num_steps: Optional[int] = None,
-                 initial_state: Optional[SimState] = None):
+                 initial_state: Optional[SimState] = None,
+                 output_dir: Optional[str] = None):
         """Run ``num_steps`` timesteps entirely on device as one
         ``lax.scan`` dispatch (no host round-trip per step).
 
-        This is the maximum-throughput path for headless runs and
-        benchmarking: the host-loop :meth:`run` pays one dispatch+sync per
-        step (dominant over a remote tunnel), while the reference pays its
-        per-step host work inline (EC3D.f90:241-455).  VTK output needs host
-        I/O, so this path returns only per-step solver diagnostics
-        (iterations / relres / converged arrays of length n).
+        This is the maximum-throughput path: the host-loop :meth:`run` pays
+        one dispatch+sync per step (dominant over a remote tunnel), while
+        the reference pays its per-step host work inline (EC3D.f90:241-455).
+
+        With ``output_dir``, field_N.vtk / src_N.vtk stream out at the jump
+        cadence (EC3D.f90:436-444) through an unordered ``io_callback``
+        fired only on output steps — files are identical to :meth:`run`'s,
+        and the device never waits on a per-step host round-trip.  Backends
+        without host-callback support (the axon TPU tunnel) automatically
+        fall back to chunked scans: one scan dispatch between consecutive
+        output points, one host-visible step at each output.
 
         Returns (final_state, stacked diagnostics).
         """
@@ -349,17 +385,110 @@ class Simulation:
                             jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         state = initial_state if initial_state is not None else self.init_state()
 
-        if self._scan_jit is None:
-            def body(st, t):
-                new_st, info = self._step(st, t)
-                return new_st, (info.iterations, info.relres, info.converged)
+        if output_dir is not None and not self._callback_supported():
+            return self._run_scan_chunked(steps, times, state, output_dir)
 
-            self._scan_jit = jax.jit(
-                lambda st, ts: jax.lax.scan(body, st, ts))
+        key = output_dir is not None
+        if self._scan_jit.get(key) is None:
+            if output_dir is None:
+                def body(st, inp):
+                    new_st, info = self._step(st, inp[0])
+                    return new_st, (info.iterations, info.relres, info.converged)
+            else:
+                from types import SimpleNamespace
+                from jax.experimental import io_callback
+                from ..io import vtk as vtkio
 
-        final, (iters, relres, conv) = self._scan_jit(state, times)
+                n_fun = len(self.model.functions)
+
+                def emit(npoint, A, carry, *cells_vals):
+                    st_like = SimpleNamespace(A=A, carry=carry)
+                    info_like = SimpleNamespace(
+                        src_cells=cells_vals[:n_fun],
+                        src_values=cells_vals[n_fun:])
+                    vtkio.write_outputs(self, st_like, info_like,
+                                        int(npoint), self._scan_outdir)
+
+                def body(st, inp):
+                    t, npoint = inp
+                    new_st, info = self._step(st, t)
+                    args = (npoint, new_st.A, new_st.carry,
+                            *info.src_cells, *info.src_values)
+                    jax.lax.cond(
+                        npoint > 0,
+                        lambda *a: io_callback(emit, None, *a, ordered=False),
+                        lambda *a: None,
+                        *args)
+                    return new_st, (info.iterations, info.relres, info.converged)
+
+            self._scan_jit[key] = jax.jit(
+                lambda st, ts, outs: jax.lax.scan(body, st, (ts, outs)))
+
+        if output_dir is not None:
+            import os
+            self._scan_outdir = output_dir
+            os.makedirs(output_dir, exist_ok=True)
+        out_points = jnp.asarray([o if o is not None else 0 for _, o in steps],
+                                 jnp.int32)
+        final, (iters, relres, conv) = self._scan_jit[key](state, times, out_points)
+        if output_dir is not None:
+            jax.effects_barrier()   # all streamed writes landed
         return final, {"iterations": iters, "relres": relres,
                        "converged": conv}
+
+    def _callback_supported(self) -> bool:
+        """Probe once whether the backend can run host io_callbacks (the
+        axon TPU tunnel cannot: 'axon_pjrt does not support host send/recv
+        callbacks')."""
+        if self._io_cb_ok is None:
+            from jax.experimental import io_callback
+            try:
+                jax.jit(lambda x: (io_callback(lambda v: None, None, x,
+                                               ordered=False), x * 1.0)[1]
+                        )(jnp.zeros(1)).block_until_ready()
+                self._io_cb_ok = True
+            except Exception:
+                self._io_cb_ok = False
+        return self._io_cb_ok
+
+    def _run_scan_chunked(self, steps, times, state, output_dir):
+        """Scan-between-outputs fallback: each inter-output segment is one
+        on-device lax.scan dispatch; each output step runs through the
+        host-visible step so write_outputs sees its source cells."""
+        import os
+        from ..io import vtk as vtkio
+
+        os.makedirs(output_dir, exist_ok=True)
+
+        def seg(n):
+            if n not in self._seg_jit:
+                def body(st, t):
+                    new_st, info = self._step(st, t)
+                    return new_st, (info.iterations, info.relres, info.converged)
+                self._seg_jit[n] = jax.jit(
+                    lambda st, ts: jax.lax.scan(body, st, ts))
+            return self._seg_jit[n]
+
+        iters, relres, conv = [], [], []
+        i = 0
+        for j, (t, out) in enumerate(steps):
+            if out is None:
+                continue
+            if j > i:
+                state, (it, rr, cv) = seg(j - i)(state, times[i:j])
+                iters.append(it), relres.append(rr), conv.append(cv)
+            state, info = self._step_jit(state, times[j])
+            vtkio.write_outputs(self, state, info, out, output_dir)
+            iters.append(info.iterations[None])
+            relres.append(info.relres[None])
+            conv.append(info.converged[None])
+            i = j + 1
+        if i < len(steps):
+            state, (it, rr, cv) = seg(len(steps) - i)(state, times[i:])
+            iters.append(it), relres.append(rr), conv.append(cv)
+        cat = lambda xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs])
+        return state, {"iterations": cat(iters), "relres": cat(relres),
+                       "converged": cat(conv)}
 
     # ------------------------------------------------------------------
     def run(
