@@ -44,13 +44,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dot-dtype", default=None,
                    choices=[None, "f32", "f64"],
                    help="accumulate solver dot products in this dtype")
+    p.add_argument("--coeff-dtype", default=None,
+                   choices=[None, "bf16", "f32"],
+                   help="store the operator coefficient streams in this "
+                   "dtype (bf16 halves matvec HBM traffic; state and "
+                   "accumulation stay in --dtype)")
     p.add_argument("--steps", type=int, default=None,
                    help="run only the first N timesteps")
-    p.add_argument("--precond", default=None, choices=["cheb"],
-                   help="enable Chebyshev polynomial preconditioning")
+    p.add_argument("--precond", default=None,
+                   choices=["cheb", "jacobi", "cheb_jacobi", "mg"],
+                   help="right preconditioning: Chebyshev polynomial, "
+                   "Jacobi, Chebyshev-on-Jacobi-scaled, or geometric "
+                   "multigrid V-cycle")
     p.add_argument("--mesh", default=None, metavar="Z[,Y]",
                    help="shard over a ZxY device mesh (e.g. --mesh 4 or "
-                   "--mesh 4,2); default: single device")
+                   "--mesh 4,2); Z-only meshes use the explicit "
+                   "shard_map+halo tier, ZxY meshes the GSPMD tier")
+    p.add_argument("--scan", action="store_true",
+                   help="run the transient as one on-device lax.scan "
+                   "dispatch (max throughput; VTK output streams via "
+                   "io_callback; checkpointing unavailable)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="write ckpt_<step>.npz files here")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
@@ -96,6 +109,7 @@ def main(argv=None) -> int:
         model,
         dtype=_dtype(args.dtype),
         dot_dtype=_dtype(args.dot_dtype) if args.dot_dtype else None,
+        coeff_dtype=_dtype(args.coeff_dtype) if args.coeff_dtype else None,
         mesh=mesh,
         precond=args.precond,
     )
@@ -126,14 +140,37 @@ def main(argv=None) -> int:
         if output_dir:
             print(f"output    : {output_dir}/field_N.vtk, src_N.vtk")
 
-    state, diag = sim.run(
-        num_steps=args.steps,
-        output_dir=output_dir,
-        progress=info,
-        checkpoint_dir=args.checkpoint_dir,
-        checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
-    )
+    if args.scan:
+        if args.checkpoint_dir or args.resume:
+            print("error: --scan does not support checkpointing",
+                  file=sys.stderr)
+            return 2
+        import time as _time
+
+        t0 = _time.perf_counter()
+        state, sdiag = sim.run_scan(num_steps=args.steps,
+                                    output_dir=output_dir)
+        jax.block_until_ready(state)
+        wall = _time.perf_counter() - t0
+        import numpy as np
+
+        it = np.asarray(sdiag["iterations"]).tolist()
+        diag = {
+            "wall_s": wall, "io_s": 0.0, "steps": len(it),
+            "iterations": it, "total_iterations": int(sum(it)),
+            "unconverged_steps":
+                [i for i, c in enumerate(np.asarray(sdiag["converged"]))
+                 if not c],
+        }
+    else:
+        state, diag = sim.run(
+            num_steps=args.steps,
+            output_dir=output_dir,
+            progress=info,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
 
     if info:
         print()

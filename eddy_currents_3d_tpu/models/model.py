@@ -86,7 +86,10 @@ class MotionFunction:
     arg_names: tuple[str, ...]
     arg_values: tuple[float, ...]
     domain: int = 0
-    axis: str = ""             # 'X', 'Y' or 'D' (reference tags VSZ as 'D')
+    axis: str = ""             # 'X', 'Y' or 'Z' (the reference mis-tags VSZ
+                               # as 'D', vxc2data.f90:871 — fixed here; the
+                               # tag is informational, motion is driven by
+                               # SourceFunction.vmech_index)
 
     def __call__(self, t):
         env = dict(zip(self.arg_names, self.arg_values))
@@ -258,6 +261,7 @@ def build_model(
     solver: SolverConfig,
     tran: TranConfig,
     nsub: Optional[int] = None,
+    environ: Optional[DomainSpec] = None,
 ) -> Model:
     """Assemble a Model from raw parts and assign synthetic AIR domains.
 
@@ -265,6 +269,11 @@ def build_model(
     Cells with id 0 are chunked into AIR domains of at most 500,000 cells
     each, appended after the physical domains (vxc2data.f90:324-336), which
     all get D=1 (vxc2data.f90:367-373).
+
+    ``environ`` (an ENVIRON palette line) overrides D/C/Ve of the *last*
+    domain — the reference writes valPHYS(nsub_glob, :)
+    (vxc2data.f90:571-593), so with one air chunk (grids < 500k air cells)
+    it makes the whole environment e.g. conducting.
     """
     sdx, sdy, sdz = shape_xyz
     v = np.asarray(geo_xyz_flat, dtype=np.int64).copy()
@@ -293,6 +302,11 @@ def build_model(
             full.append(DomainSpec(ident=ident, name="AIR", typ="R", D=1.0))
         else:
             full.append(DomainSpec(ident=ident))
+
+    if environ is not None and full:
+        last = full[-1]
+        last.D, last.C, last.Ve = environ.D, environ.C, environ.Ve
+        last.typ = environ.typ
 
     geo = v.reshape(sdz, sdy, sdx)  # C-order: z slowest, x fastest
     model = Model(

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import base64
 import zlib
+from typing import Optional
 from xml.etree import ElementTree
 
 import numpy as np
@@ -200,7 +201,7 @@ def read_vxc(path: str) -> Model:
                             MotionFunction(
                                 name=val, expression=None, arg_names=(),
                                 arg_values=(), domain=kp,
-                                axis={0: "X", 1: "Y", 2: "D"}[ax],
+                                axis={0: "X", 1: "Y", 2: "Z"}[ax],
                             )
                         )
                         vmech_names.append(val)
@@ -213,8 +214,31 @@ def read_vxc(path: str) -> Model:
         functions.append(fn)
         fun_names.append(fn.name)
 
+    environ: Optional[DomainSpec] = None
     for kp, text in enumerate(names, start=1):
         w = _words(text)
+        if any("ENVIRON" in word for word in w[1:]):
+            # ENVIRON (vxc2data.f90:571-593): D/C/VEX/VEY/VEZ for the
+            # environment — applied to the *last* air domain (the reference
+            # writes valPHYS(nsub_glob, :)).  Divergence from the reference:
+            # its per-word scan would also mis-register the line's D word as
+            # material parameters of palette id kp; here the line is
+            # consumed as ENVIRON only (see PARITY.md).
+            environ = DomainSpec(ident=0, name=w[0], typ="R")
+            for j in range(1, len(w) - 1):
+                if w[j][:1] == "D" and w[j] != "DIR":
+                    environ.D = evaluate(w[j + 1])
+                elif w[j][:1] == "C":
+                    environ.C = evaluate(w[j + 1])
+                    if environ.C != 0.0:
+                        environ.typ = environ.typ + "C"
+                elif "VEX" in w[j]:
+                    environ.Ve = (evaluate(w[j + 1]), environ.Ve[1], environ.Ve[2])
+                elif "VEY" in w[j]:
+                    environ.Ve = (environ.Ve[0], evaluate(w[j + 1]), environ.Ve[2])
+                elif "VEZ" in w[j]:
+                    environ.Ve = (environ.Ve[0], environ.Ve[1], evaluate(w[j + 1]))
+            continue
         for i in range(1, len(w)):
             if w[i][:1] == "D" and kp <= nsub and w[i] != "DIR" and i + 1 < len(w):
                 dom = DomainSpec(ident=kp, name=w[0], typ="R", D=evaluate(w[i + 1]))
@@ -308,4 +332,5 @@ def read_vxc(path: str) -> Model:
         solver=solver,
         tran=tran,
         nsub=nsub,
+        environ=environ,
     )

@@ -24,8 +24,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bicgstab_wr", "bicgstab_wr_right", "tree_dot", "tree_norm",
-           "tree_axpy", "SolveResult"]
+__all__ = ["bicgstab_wr", "bicgstab_wr_right", "bicgstab_jacobi",
+           "tree_dot", "tree_norm", "tree_axpy", "SolveResult"]
 
 
 def tree_dot(a, b, dtype=None):
@@ -145,6 +145,21 @@ def bicgstab_wr(
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(x=out.x, iterations=out.it, relres=out.relres,
                        converged=out.done)
+
+
+def bicgstab_jacobi(apply_fn, diag, b, x0, tol, itmax,
+                    dot_dtype: Optional[jnp.dtype] = None) -> SolveResult:
+    """Right-Jacobi-preconditioned BiCGSTABwr: solve ``(A D^-1) y = b`` with
+    ``x = D^-1 y`` and warm start ``y0 = D x0`` — the residual history and
+    convergence test remain those of the original system.  (The reference
+    runs unpreconditioned, solvers.f90; this is the TPU build's cheapest
+    accelerator, also wired into Simulation as ``precond='jacobi'``.)"""
+    inv = jax.tree.map(lambda d: 1.0 / d, diag)
+    mul = lambda s, v: jax.tree.map(lambda a, b: a * b, s, v)
+    res = bicgstab_wr(lambda v: apply_fn(mul(inv, v)), b, mul(diag, x0),
+                      tol, itmax, dot_dtype=dot_dtype)
+    return SolveResult(x=mul(inv, res.x), iterations=res.iterations,
+                       relres=res.relres, converged=res.converged)
 
 
 def bicgstab_wr_right(

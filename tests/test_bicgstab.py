@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from eddy_currents_3d_tpu.solvers.bicgstab import bicgstab_wr
-from eddy_currents_3d_tpu.solvers.precond import bicgstab_jacobi
+from eddy_currents_3d_tpu.solvers.bicgstab import bicgstab_jacobi
 from oracle import bicgstab_wr_numpy
 
 

@@ -42,6 +42,32 @@ def test_cli_missing_input(tmp_path, capsys):
     assert "not found" in capsys.readouterr().err
 
 
+def test_cli_scan_outputs_match_host_loop(case_file, tmp_path):
+    out1, out2 = str(tmp_path / "loop"), str(tmp_path / "scan")
+    assert main([case_file, "-o", out1, "--dtype", "f64", "-q"]) == 0
+    assert main([case_file, "-o", out2, "--dtype", "f64", "-q", "--scan"]) == 0
+    files = sorted(os.listdir(out1))
+    assert files == sorted(os.listdir(out2)) and files
+    for f in files:
+        with open(os.path.join(out1, f), "rb") as a, \
+                open(os.path.join(out2, f), "rb") as b:
+            assert a.read() == b.read(), f
+
+
+def test_cli_shard_mesh_run_matches_single(case_file, tmp_path):
+    """--mesh 8 (z-only): the explicit shard_map tier end-to-end."""
+    out1, out8 = str(tmp_path / "o1"), str(tmp_path / "oz8")
+    assert main([case_file, "-o", out1, "--dtype", "f64", "-q"]) == 0
+    assert main([case_file, "-o", out8, "--dtype", "f64", "-q", "--mesh", "8"]) == 0
+    from eddy_currents_3d_tpu.io.vtk import read_vtk_vectors
+
+    f1 = read_vtk_vectors(os.path.join(out1, "field_1.vtk"))
+    f8 = read_vtk_vectors(os.path.join(out8, "field_1.vtk"))
+    for k in f1:
+        scale = np.abs(f1[k]).max() or 1.0
+        np.testing.assert_allclose(f8[k], f1[k], rtol=1e-7, atol=1e-8 * scale)
+
+
 def test_cli_mesh_run_matches_single(case_file, tmp_path):
     out1, out8 = str(tmp_path / "o1"), str(tmp_path / "o8")
     assert main([case_file, "-o", out1, "--dtype", "f64", "-q"]) == 0

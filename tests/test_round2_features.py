@@ -1,0 +1,208 @@
+"""Round-2 feature coverage: z-directed moving sources end-to-end, ENVIRON
+palette lines, streamed VTK output on the scan path, bf16 coefficient
+streams, and sim-level BOUNDARY A/N stripping."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eddy_currents_3d_tpu.models.vxc import read_vxc
+from eddy_currents_3d_tpu.sim.simulate import Simulation
+from eddy_currents_3d_tpu.testing.cases import (
+    case_static, load_case, make_vxc_text, _grid)
+
+
+def case_srcz_moving(shape_xyz=(12, 12, 18), steps=4, dt=1e-3, vz=None,
+                     bound=None):
+    """Two z-directed source columns (SRCz) over a conducting plate, moving
+    along z with constant velocity ``vz`` (m/s).  Exercises the reference's
+    dead-code path (it mis-tags SRCZ as 'D' and drops it, vxc2data.f90:489,
+    694-747 — PARITY divergence 1: implemented properly here)."""
+    nx, ny, nz = shape_xyz
+    geo = _grid(shape_xyz)
+    geo[2:5, 3:ny - 3, 3:nx - 3] = 1                 # conducting plate
+    geo[8:13, 5, 4] = 2                              # +z current column
+    geo[8:13, 5, nx - 5] = 3                         # -z current column
+    move = f" Vsz={vz!r}" if vz is not None else ""
+    amp = "'1000/(dx*dy)'"
+    names = [
+        "plast D=1 C='mu0*35.26e6'",
+        f"colp D=1 SRCz=Fp{move}",
+        f"colm D=1 SRCz=Fm{move}",
+        f"param tran stop={steps * dt} step={dt}",
+        "p2 solver tol=5e-3 itmax=10000 dir=out"
+        + (f" bound={bound}" if bound else ""),
+        "f1 func Fp=a*cos(p2*f*t) a=" + amp + " p2='2*pi' f=50 t=t",
+        "f2 func Fm=-a*cos(p2*f*t) a=" + amp + " p2='2*pi' f=50 t=t",
+    ]
+    return make_vxc_text(shape_xyz, 0.004, names, geo.ravel())
+
+
+def test_srcz_static_e2e():
+    """Z-directed sources drive Az (the reference silently drops them)."""
+    model = load_case(case_srcz_moving(steps=2))
+    assert [f.direction for f in model.functions] == ["Z", "Z"]
+    state, diag = Simulation(model, dtype=jnp.float64).run()
+    assert not diag["unconverged_steps"]
+    A = np.asarray(state.A)
+    assert np.abs(A[2]).max() > 0
+    # x/y components arise only through the weak U coupling
+    assert np.abs(A[2]).max() > 10 * max(np.abs(A[0]).max(), np.abs(A[1]).max())
+
+
+def test_srcz_moving_z_matches_oracle():
+    """A coil moving along z: per-step source cells must follow the
+    reference motion recurrence (Distance += v*dt/dz; displace + clamp to
+    [2, sd-2] 1-based, EC3D.f90:1052-1114) — checked against a sequential
+    host oracle, including the clamp at the top of the box."""
+    nx, ny, nz = 12, 12, 18
+    dz = 0.004
+    vz = 2.0 * dz / 1e-3          # 2 cells per step: reaches the clamp fast
+    steps = 6
+    model = load_case(case_srcz_moving((nx, ny, nz), steps=steps, vz=vz))
+    assert model.functions[0].move == (0, 0, 1)
+    assert model.functions[0].vmech_const[2] == pytest.approx(vz)
+
+    sim = Simulation(model, dtype=jnp.float64, donate=False)
+    state = sim.init_state()
+    cells0 = np.asarray(model.functions[0].cells)
+    k0 = cells0 // (nx * ny)
+
+    dist = 0.0
+    movestop_x = 1
+    for idx in range(steps):
+        t, _ = sim.steps[idx]
+        state, info = sim._step_jit(state, t)
+        # oracle: constant-velocity axes accumulate gated by the X latch
+        # (EC3D.f90:1055 quirk); z positions clamp to [1, nz-3] 0-based
+        dist += movestop_x * vz * model.tran.step / dz
+        length = int(np.trunc(dist + (0.5 if dist >= 0 else -0.5)))
+        k_expect = np.clip(k0 + length, 1, nz - 3)
+        k_got = np.asarray(info.src_cells[0]) // (nx * ny)
+        np.testing.assert_array_equal(k_got, k_expect)
+        assert bool(info.converged)
+    # the coil span is 5 cells starting at k=8; after 6 steps of +2 the top
+    # cells must have hit the z clamp
+    assert k_got.max() == nz - 3
+
+
+def test_environ_applies_to_last_air_domain():
+    """ENVIRON D/C/VE* land on the last (air) domain
+    (vxc2data.f90:571-593 writes valPHYS(nsub_glob, :))."""
+    nx, ny, nz = 10, 10, 10
+    geo = _grid((nx, ny, nz))
+    geo[4:7, 4:7, 4:7] = 1
+    names = [
+        "obj D=1",
+        "env ENVIRON D=2.5 C='mu0*1e6' VEX=0.25",
+        "param tran stop=2m step=1m",
+    ]
+    model = load_case(make_vxc_text((nx, ny, nz), 0.01, names, geo.ravel()))
+    last = model.domains[-1]
+    assert last.name == "AIR"
+    assert last.D == 2.5
+    assert last.C == pytest.approx(4e-7 * np.pi * 1e6)
+    assert last.Ve[0] == 0.25
+    assert "C" in last.typ
+    # the environment is now conducting: every air cell is a U unknown
+    assert model.n_cond == int(np.sum(np.asarray(model.geo) == last.ident))
+
+
+def test_environ_without_c_keeps_air_resistive():
+    nx, ny, nz = 8, 8, 8
+    geo = _grid((nx, ny, nz))
+    names = ["env ENVIRON D=3", "param tran stop=2m step=1m"]
+    model = load_case(make_vxc_text((nx, ny, nz), 0.01, names, geo.ravel()))
+    assert model.domains[-1].D == 3.0
+    assert model.n_cond == 0
+    _, diag = Simulation(model, dtype=jnp.float64).run(num_steps=1)
+    assert diag["steps"] == 1
+
+
+def test_scan_output_matches_run(tmp_path):
+    """field_N.vtk / src_N.vtk streamed from run_scan's io_callback must be
+    byte-identical to the host-loop run()'s files."""
+    model = load_case(case_static(shape_xyz=(14, 14, 12), steps=4, jump=2e-3))
+    out_run = tmp_path / "run"
+    out_scan = tmp_path / "scan"
+    sim = Simulation(model, dtype=jnp.float64, donate=False)
+    sim.run(output_dir=str(out_run))
+    _, diag = sim.run_scan(output_dir=str(out_scan))
+    assert bool(np.asarray(diag["converged"]).all())
+    files = sorted(os.listdir(out_run))
+    assert files == sorted(os.listdir(out_scan))
+    assert any(f.startswith("field_") for f in files)
+    for f in files:
+        a = (out_run / f).read_bytes()
+        b = (out_scan / f).read_bytes()
+        assert a == b, f"{f} differs between run() and run_scan()"
+
+
+def test_scan_output_chunked_fallback(tmp_path):
+    """Backends without io_callback (the axon TPU tunnel) take the
+    chunked-scan path: scan between outputs + host step at each output.
+    Files must still be byte-identical to run()'s."""
+    model = load_case(case_static(shape_xyz=(14, 14, 12), steps=5, jump=2e-3))
+    out_run = tmp_path / "run"
+    out_scan = tmp_path / "scan"
+    sim = Simulation(model, dtype=jnp.float64, donate=False)
+    sim.run(output_dir=str(out_run))
+    sim._io_cb_ok = False                     # force the fallback
+    _, diag = sim.run_scan(output_dir=str(out_scan))
+    assert bool(np.asarray(diag["converged"]).all())
+    assert len(np.asarray(diag["iterations"])) == len(sim.steps)
+    files = sorted(os.listdir(out_run))
+    assert files == sorted(os.listdir(out_scan))
+    for f in files:
+        assert (out_run / f).read_bytes() == (out_scan / f).read_bytes(), f
+
+
+def test_bf16_coefficients_flat_path():
+    """coeff_dtype=bf16: coefficient streams quantized, state/accumulation
+    f32 — the solve must still converge and land near the f32 solution."""
+    model = load_case(case_static(shape_xyz=(14, 14, 12), steps=2))
+    ref, rdiag = Simulation(model, dtype=jnp.float32).run()
+    mix, mdiag = Simulation(model, dtype=jnp.float32,
+                            coeff_dtype=jnp.bfloat16).run()
+    assert not mdiag["unconverged_steps"]
+    scale = np.abs(np.asarray(ref.A)).max()
+    err = np.abs(np.asarray(mix.A) - np.asarray(ref.A)).max() / scale
+    assert err < 0.03, f"bf16-coefficient drift {err:.4f} too large"
+
+
+def test_boundary_stripping_simulates():
+    """A conducting plate reaching the x faces with bound=ADDDDD: the face
+    cells are reassigned to air (vxc2data.f90:609-622) and the stripped
+    model must assemble and step; without stripping assembly must refuse
+    (the reference would read out of bounds)."""
+    nx, ny, nz = 12, 12, 12
+    geo = _grid((nx, ny, nz))
+    geo[2:6, 3:ny - 3, 0:nx] = 1          # plate touching x- and x+ faces
+    geo[8:10, 5, 3:nx - 3] = 2
+    names = [
+        "plast D=1 C='mu0*35.26e6'",
+        "coil D=1 SRCx=Fp",
+        "param tran stop=2m step=1m",
+        "p2 solver tol=5e-3 bound=ADDDDD",
+        "f1 func Fp=a*cos(p2*f*t) a='100/(dx*dz)' p2='2*pi' f=50 t=t",
+    ]
+    text = make_vxc_text((nx, ny, nz), 0.004, names, geo.ravel())
+    model = load_case(text)
+    cond = np.asarray(model.cond_mask)
+    assert not cond[:, :, 0].any() and not cond[:, :, -1].any()
+    _, diag = Simulation(model, dtype=jnp.float64).run(num_steps=1)
+    assert not diag["unconverged_steps"]
+
+    # same geometry with all-D bound: no stripping — face cells stay
+    # conducting (and the one-sided stencils point inward, so it still
+    # assembles and steps)
+    text2 = text.replace("bound=ADDDDD", "bound=DDDDDD")
+    model2 = load_case(text2)
+    cond2 = np.asarray(model2.cond_mask)
+    assert cond2[:, :, 0].any() and cond2[:, :, -1].any()
+    assert model2.n_cond > model.n_cond
+    _, diag2 = Simulation(model2, dtype=jnp.float64).run(num_steps=1)
+    assert not diag2["unconverged_steps"]
