@@ -102,6 +102,11 @@ def run_roofline(args) -> int:
         _, base_steps, path = BASELINES[args.case]
         model = _load(path, (102, 102, 24), base_steps)
     sysm = assemble_operator(model, jnp.float32)
+    csize = 4
+    if args.coeff_dtype == "bf16":
+        import dataclasses
+        sysm = dataclasses.replace(sysm, op=sysm.op.astype(jnp.bfloat16))
+        csize = 2
     # matrix nnz actually encoded in the coefficient streams: each ka offset
     # field feeds all three A components
     nnz = (3 * np.count_nonzero(sysm.np_ka) + np.count_nonzero(sysm.np_gu)
@@ -126,7 +131,7 @@ def run_roofline(args) -> int:
                     for a in (sysm.np_ka, sysm.np_gu, sysm.np_ku, sysm.np_da))
         n_state = int(st.A.size + st.U.size)
     # bytes per matvec: stream every coefficient once, read + write the state
-    bytes_mv = 4 * (coeff + 2 * n_state)
+    bytes_mv = csize * coeff + 4 * 2 * n_state
 
     def chain_of(reps):
         @jax.jit
@@ -174,8 +179,9 @@ def run_roofline(args) -> int:
     # kernel streams better than the reference triad loop does.
     achieved_bw = bytes_mv / t_mv
     pct = 100.0 * achieved_bw / stream_bw
+    tag = "_bf16" if args.coeff_dtype == "bf16" else ""
     return _emit(
-        f"{args.case}_spmv_roofline", pct, "% of measured HBM stream", pct / 70.0,
+        f"{args.case}_spmv_roofline{tag}", pct, "% of measured HBM stream", pct / 70.0,
         nnz_per_s=round(nnz / t_mv / 1e6, 1),
         matvec_us=round(t_mv * 1e6, 1),
         stream_gbps=round(stream_bw / 1e9, 1),
@@ -184,11 +190,12 @@ def run_roofline(args) -> int:
 
 
 def run_scaling(args) -> int:
-    """Weak-scaling overhead of the sharded step on one host: N virtual
+    """Weak-scaling overhead of the sharded matvec on one host: N virtual
     devices do N devices' work on the same silicon, so ideal wall time is
     N x the 1-device time; the metric is (N*t1)/tN (1.0 = zero sharding
     overhead).  On real multi-chip hardware the same harness measures true
-    weak scaling."""
+    weak scaling.  Mesh runs go through the explicit shard_map tier
+    (parallel/shard_op.py: per-shard kernels + halo ppermute)."""
     import jax
     import jax.numpy as jnp
     from eddy_currents_3d_tpu.parallel.mesh import make_mesh
@@ -207,14 +214,19 @@ def run_scaling(args) -> int:
         iteration-count change of a physically larger domain)."""
         model = load_case(case_static(shape_xyz=(64, 64, nz), steps=3))
         sim = Simulation(model, dtype=jnp.float32, mesh=mesh, donate=False)
-        op = sim.system.op
-        st = sim.init_state()
-        x = State(st.A + 1.0, st.U)
+        if sim.shard_op is not None:
+            apply_fn = sim.shard_op.apply
+            st = sim.init_state()
+            x = sim.shard_op.pad_state(State(st.A + 1.0, st.U))
+        else:
+            apply_fn = sim.system.op.apply
+            st = sim.init_state()
+            x = State(st.A + 1.0, st.U)
 
         @jax.jit
         def chain(s):
             def body(_, s):
-                y = op.apply(s)
+                y = apply_fn(s)
                 return State(y.A * 1e-2, y.U * 1e-2)
             s = jax.lax.fori_loop(0, R, body, s)
             return jnp.sum(s.A) + jnp.sum(s.U)
@@ -231,6 +243,137 @@ def run_scaling(args) -> int:
                  "matvec efficiency (1.0 = ideal; N virtual devices share one host)",
                  eff / 0.8, t1_ms=round(t1 * 1e3, 3), tN_ms=round(tN * 1e3, 3),
                  devices=d)
+
+
+def run_shardmv(args) -> int:
+    """Strong-scaling view of the explicit shard_map tier on a fixed
+    problem: sharded-matvec wall time on an N-virtual-device z mesh vs the
+    single-device flat matvec, plus an HLO check that the halo exchange
+    lowers to collective-permutes (point-to-point) and not all-gathers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from eddy_currents_3d_tpu.assembly.assemble import assemble_operator
+    from eddy_currents_3d_tpu.assembly.stencil import State
+    from eddy_currents_3d_tpu.parallel.mesh import make_mesh
+    from eddy_currents_3d_tpu.parallel.shard_op import ShardedStencilOperator
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    d = args.devices
+    R = 32
+    model = load_case(case_static(shape_xyz=(64, 64, 8 * max(d // 8, 1) * 8),
+                                  steps=2))
+    sysm = assemble_operator(model, jnp.float32)
+    nz, ny, nx = model.shape_zyx
+    rng = np.random.default_rng(0)
+    st = State(jnp.asarray(rng.standard_normal((3, nz, ny, nx)), jnp.float32),
+               jnp.asarray(rng.standard_normal((nz, ny, nx))
+                           * np.asarray(sysm.cond_mask), jnp.float32))
+
+    def timed_chain(apply_fn, x):
+        @jax.jit
+        def chain(s):
+            def body(_, s):
+                y = apply_fn(s)
+                return State(y.A * 1e-2, y.U * 1e-2)
+            s = jax.lax.fori_loop(0, R, body, s)
+            return jnp.sum(s.A) + jnp.sum(s.U)
+        _force(chain(x))
+        t0 = time.perf_counter()
+        _force(chain(x))
+        return (time.perf_counter() - t0) / R
+
+    t1 = timed_chain(sysm.op.apply, st)
+    sop = ShardedStencilOperator(sysm, make_mesh(d, 1), jnp.float32)
+    stp = sop.pad_state(st)
+    tN = timed_chain(sop.apply, stp)
+    hlo = jax.jit(sop.apply).lower(stp).compile().as_text()
+    return _emit(
+        f"sharded_matvec_{d}dev", tN * 1e6, "us/matvec (fixed problem)",
+        t1 / tN,
+        single_device_us=round(t1 * 1e6, 1),
+        devices=d,
+        hlo_collective_permute="collective-permute" in hlo,
+        hlo_all_gather="all-gather" in hlo,
+    )
+
+
+def run_precond(args) -> int:
+    """Preconditioner shoot-out on the case's full transient (scan path):
+    wall time and iteration counts for none/jacobi/cheb/cheb_jacobi/mg.
+    The reference is always unpreconditioned (solvers.f90)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+
+    base_total, base_steps, path = BASELINES[args.case]
+    model = _load(path, (102, 102, 24), base_steps)
+    n_steps = args.steps or base_steps
+    table = {}
+    for name in ("none", "jacobi", "cheb", "cheb_jacobi", "mg"):
+        sim = Simulation(model, dtype=jnp.float32,
+                         precond=None if name == "none" else name)
+        warm, _ = sim.run_scan(num_steps=n_steps)
+        _force(warm.A)
+        del warm
+        t0 = time.perf_counter()
+        state, diag = sim.run_scan(num_steps=n_steps)
+        _force(state.A)
+        wall = time.perf_counter() - t0
+        iters = np.asarray(diag["iterations"])
+        table[name] = {
+            "s_per_step": round(wall / n_steps, 6),
+            "iters_mean": round(float(iters.mean()), 1),
+            "converged": bool(np.asarray(diag["converged"]).all()),
+        }
+        del sim, state
+    ok = {k: v for k, v in table.items() if v["converged"]}
+    best = min(ok, key=lambda k: ok[k]["s_per_step"])
+    return _emit(
+        f"{args.case}_precond_best", ok[best]["s_per_step"], "s/step",
+        (base_total / base_steps) / ok[best]["s_per_step"],
+        best=best, table=table, steps=n_steps,
+    )
+
+
+def run_all(args) -> int:
+    """Run the full benchmark suite as sequential subprocesses (one JSON
+    line each; separate processes because the scaling/shardmv modes must
+    set XLA device-count flags before importing jax) and echo every line."""
+    import subprocess
+
+    cmds = [
+        ["--case", "team7"],
+        ["--case", "move"],
+        ["--case", "lim"],
+        ["--case", "team7", "--coeff-dtype", "bf16"],
+        ["--mode", "roofline"],
+        ["--mode", "roofline", "--coeff-dtype", "bf16"],
+        ["--mode", "scale256"],
+        ["--mode", "scaling", "--devices", "4"],
+        ["--mode", "shardmv", "--devices", "8"],
+        ["--mode", "precond", "--case", "team7"],
+        ["--mode", "precond", "--case", "lim"],
+    ]
+    lines = []
+    fail = 0
+    for c in cmds:
+        r = subprocess.run([sys.executable, __file__] + c,
+                           capture_output=True, text=True, timeout=3600)
+        out = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if r.returncode or not out:
+            fail += 1
+            line = json.dumps({"error": f"bench {' '.join(c)} failed",
+                               "stderr": r.stderr.strip()[-400:]})
+        else:
+            line = out[-1]
+        print(line, flush=True)
+        lines.append(line)
+    if args.save:
+        with open(args.save, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return 1 if fail else 0
 
 
 def run_scale256(args) -> int:
@@ -272,14 +415,23 @@ def main() -> int:
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--mode", default="e2e",
-                    choices=["e2e", "roofline", "scaling", "scale256"])
+                    choices=["e2e", "roofline", "scaling", "scale256",
+                             "shardmv", "precond", "all"])
     ap.add_argument("--devices", type=int, default=8,
-                    help="virtual device count for --mode scaling")
+                    help="virtual device count for --mode scaling/shardmv")
     ap.add_argument("--shape", default="256,256,64",
                     help="grid for --mode scale256 (nx,ny,nz)")
+    ap.add_argument("--save", default=None,
+                    help="--mode all: also write the JSON lines to this file")
+    ap.add_argument("--coeff-dtype", default=None, choices=[None, "bf16"],
+                    help="store operator coefficients in bf16 (state stays "
+                    "f32) for e2e/roofline modes")
     args = ap.parse_args()
 
-    if args.mode == "scaling":
+    if args.mode == "all":
+        return run_all(args)
+
+    if args.mode in ("scaling", "shardmv"):
         # must happen before jax import
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
@@ -290,13 +442,17 @@ def main() -> int:
 
     import jax
 
-    if args.cpu or args.mode == "scaling":
+    if args.cpu or args.mode in ("scaling", "shardmv"):
         jax.config.update("jax_platforms", "cpu")
 
     if args.mode == "roofline":
         return run_roofline(args)
     if args.mode == "scaling":
         return run_scaling(args)
+    if args.mode == "shardmv":
+        return run_shardmv(args)
+    if args.mode == "precond":
+        return run_precond(args)
     if args.mode == "scale256":
         return run_scale256(args)
     if args.f64:
@@ -316,7 +472,9 @@ def main() -> int:
         model = load_case(case_static(shape_xyz=(102, 102, 24), steps=base_steps))
 
     dtype = jnp.float64 if args.f64 else jnp.float32
-    sim = Simulation(model, dtype=dtype)
+    sim = Simulation(model, dtype=dtype,
+                     coeff_dtype=jnp.bfloat16 if args.coeff_dtype == "bf16"
+                     else None)
     n_steps = args.steps if args.steps is not None else len(sim.steps)
 
     # compile once on a throwaway state (first step dominates otherwise);
@@ -337,7 +495,8 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"{args.case}_time_per_step",
+                "metric": f"{args.case}_time_per_step"
+                          + ("_bf16" if args.coeff_dtype == "bf16" else ""),
                 "value": round(per_step, 6),
                 "unit": "s/step",
                 "vs_baseline": round(baseline_per_step / per_step, 2),

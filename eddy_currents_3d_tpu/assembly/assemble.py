@@ -106,7 +106,19 @@ def _raise_bad(sel: np.ndarray, why: str):
     )
 
 
-def assemble_operator(model: Model, dtype=jnp.float32) -> AssembledSystem:
+def assemble_operator(model: Model, dtype=jnp.float32,
+                      inertia_on_faces: bool = False) -> AssembledSystem:
+    """Build the stencil operator.
+
+    ``inertia_on_faces`` is a beyond-reference extension: the reference adds
+    the conducting 2C/dt inertia only on grid-interior cells
+    (EC3D.f90:656-663), so conducting cells on the outer faces behave as
+    vacuum.  With True, face conductors get the inertial term too (their
+    boundary A-row is otherwise unchanged; convection and grad-U coupling
+    stay interior-only).  Combined with BOUNDARY ALL=-1 (exact discrete
+    Neumann) this makes full-cross-section slabs exactly 1-D — used by the
+    analytic skin-depth validation (tests/test_physics_skin_depth.py).
+    Default False = reference-exact."""
     nz, ny, nx = model.shape_zyx
     shape = (nz, ny, nx)
     dx, dy, dz = [float(d) for d in model.delta]
@@ -151,7 +163,8 @@ def assemble_operator(model: Model, dtype=jnp.float32) -> AssembledSystem:
         ka[_MOFF[a]] = np.where(intc, ka[_MOFF[a]] - conv, ka[_MOFF[a]])
         ka[_POFF[a]] = np.where(intc, ka[_POFF[a]] + conv, ka[_POFF[a]])
     inert = np.where(cond, 2.0 * Cf / dt, 0.0)
-    ka[0] = np.where(intc, ka[0] + inert, ka[0])
+    inert_sel = cond if inertia_on_faces else intc
+    ka[0] = np.where(inert_sel, ka[0] + inert, ka[0])
 
     # neighbor-conducting flags (out-of-grid counts as non-conducting)
     cnd_m = [_nshift(cond, a, -1).astype(bool) for a in range(3)]

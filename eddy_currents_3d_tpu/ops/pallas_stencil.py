@@ -105,13 +105,20 @@ def _shift_y(x0, xm, xp, shift, axis):
     return x0
 
 
-def _tile_y(nyp_rows: int, row_width: int, n_blocks: int, itemsize: int = 4) -> int:
-    """Largest multiple-of-8 y-tile height whose ~n_blocks working set
-    (double-buffered) stays within a conservative VMEM budget."""
+def _tile_y(nyp_rows: int, row_width: int, n_blocks: int, itemsize: int = 4,
+            sub: int = _SUB) -> int:
+    """Largest multiple-of-``sub`` y-tile height whose ~n_blocks working set
+    (double-buffered) stays within a conservative VMEM budget.  ``sub`` is
+    16 when any operand is 2-byte (bf16 sublane tiling), else 8."""
     budget = 6 * 1024 * 1024
     ty = budget // max(1, 2 * n_blocks * row_width * itemsize)
-    ty = max(8, (ty // 8) * 8)
+    ty = max(sub, (ty // sub) * sub)
     return min(ty, nyp_rows)
+
+
+def _sub_of(*arrays) -> int:
+    """Sublane granularity for a kernel: 16 if any operand is 2-byte."""
+    return 16 if any(a.dtype.itemsize == 2 for a in arrays) else _SUB
 
 
 # ---------------------------------------------------------------------------
@@ -147,10 +154,11 @@ def _a_kernel_1tile(ka_ref, am_ref, ap_ref, a0_ref, out_ref):
 
 def _apply_a(ka_p: jax.Array, A_p: jax.Array) -> jax.Array:
     nz, NYp, NXp = A_p.shape[1:]
+    sub = _sub_of(ka_p, A_p)
     # blocks per grid step: ka 7 + A 5x3 + out 3
-    TY = _tile_y(NYp, NXp, 25, A_p.dtype.itemsize)
-    if NYp % TY:  # NYp is a multiple of 8, TY of 8; repad via smaller tile
-        TY = next(t for t in range(TY, 7, -8) if NYp % t == 0)
+    TY = _tile_y(NYp, NXp, 25, A_p.dtype.itemsize, sub)
+    if NYp % TY:  # NYp is a multiple of sub, TY too; repad via smaller tile
+        TY = next(t for t in range(TY, sub - 1, -sub) if NYp % t == 0)
     nyt = NYp // TY
     clamp = lambda v, n: jnp.clip(v, 0, n - 1)
     plane = lambda *lead: pl.BlockSpec(
@@ -258,10 +266,11 @@ def _u_kernel_1tile(gu_ref, ku_ref, da_ref,
 
 def _apply_u(gu_p, ku_p, da_p, Ub_p, Ab_p):
     bz, BYp, BXp = Ub_p.shape
+    sub = _sub_of(gu_p, Ub_p)
     # blocks per grid step: gu 15 + ku 7 + da 9 + u 7 + A 5x3 + out 4
-    TY = _tile_y(BYp, BXp, 57, Ub_p.dtype.itemsize)
+    TY = _tile_y(BYp, BXp, 57, Ub_p.dtype.itemsize, sub)
     if BYp % TY:
-        TY = next(t for t in range(TY, 7, -8) if BYp % t == 0)
+        TY = next(t for t in range(TY, sub - 1, -sub) if BYp % t == 0)
     nyt = BYp // TY
     clampj = lambda v: jnp.clip(v, 0, nyt - 1)
     u_at = lambda fz, fj=lambda j: j: pl.BlockSpec(
@@ -364,8 +373,11 @@ def from_assembled(system, model=None) -> PallasStencilOperator:
     cells inert)."""
     op = system.op
     nz, ny, nx = op.shape_zyx
-    NYp, NXp = _pad_to(ny, _SUB), _pad_to(nx, _LANE)
     dtype = op.ka.dtype
+    # bf16 coefficient streams need sublane-16 tiling; the (f32) state
+    # shares the padded layout, so it pads to 16 as well
+    sub = 16 if jnp.dtype(dtype).itemsize == 2 else _SUB
+    NYp, NXp = _pad_to(ny, sub), _pad_to(nx, _LANE)
     ka_p = jnp.asarray(_pad3(np.asarray(system.np_ka), NYp, NXp), dtype)
 
     if op.box is None:
@@ -380,7 +392,7 @@ def from_assembled(system, model=None) -> PallasStencilOperator:
 
     z0, z1, y0, y1, x0, x1 = op.box
     by, bx = y1 - y0, x1 - x0
-    BYp, BXp = _pad_to(by, _SUB), _pad_to(bx, _LANE)
+    BYp, BXp = _pad_to(by, sub), _pad_to(bx, _LANE)
     # keep the (y,x) window inside the padded grid: move the origin back if
     # the padded window would overrun, growing the low-side zero margin
     y0n = min(y0, NYp - BYp)

@@ -143,3 +143,23 @@ def test_no_conductor_pure_poisson():
     sysm, *_ = _compare(model)
     assert model.n_cond == 0
     assert sysm.op.box is None and sysm.op.ku.size == 0
+
+
+def test_inertia_on_faces_extension():
+    """Beyond-reference flag: with inertia_on_faces=True, conducting cells
+    on the outer grid faces get the 2C/dt diagonal the reference only adds
+    on interior cells (EC3D.f90:656-663); default stays reference-exact."""
+    geo = np.zeros((10, 10, 10), np.int64)
+    geo[3:7, :, :] = 1          # slab spanning the full x-y cross-section
+    names = ["cu D=1 C='mu0*1e6'", "param tran stop=2m step=1m"]
+    model = load_case(make_vxc_text((10, 10, 10), 0.01, names, geo.ravel()))
+    ref = assemble_operator(model, jnp.float64)
+    ext = assemble_operator(model, jnp.float64, inertia_on_faces=True)
+    inert = 2.0 * (4e-7 * np.pi * 1e6) / 1e-3
+    dref, dext = ref.np_ka[0], ext.np_ka[0]
+    # face conducting cell: unchanged in ref, +2C/dt in ext
+    assert dext[4, 0, 4] - dref[4, 0, 4] == pytest.approx(inert)
+    # interior conducting cell: identical (already had it)
+    assert dext[4, 4, 4] == dref[4, 4, 4]
+    # air cells: identical
+    assert dext[0, 4, 4] == dref[0, 4, 4]
