@@ -239,8 +239,12 @@ def run_scaling(args) -> int:
     t1 = time_matvec(base_z, None)
     tN = time_matvec(base_z * d, make_mesh(d, 1))
     eff = d * t1 / tN
-    return _emit(f"weak_scaling_{d}dev", eff,
-                 "matvec efficiency (1.0 = ideal; N virtual devices share one host)",
+    # honest label: on one host this bounds sharding *overhead*, not true
+    # weak scaling (all virtual devices share the same silicon); on a real
+    # pod the identical harness measures weak scaling proper
+    return _emit(f"weak_scaling_proxy_{d}dev", eff,
+                 "N*t1/tN matvec ratio (N virtual devices share one host; "
+                 "sharding-overhead proxy, 1.0 = no overhead)",
                  eff / 0.8, t1_ms=round(t1 * 1e3, 3), tN_ms=round(tN * 1e3, 3),
                  devices=d)
 
@@ -298,10 +302,11 @@ def run_shardmv(args) -> int:
     )
 
 
-def run_precond(args) -> int:
-    """Preconditioner shoot-out on the case's full transient (scan path):
-    wall time and iteration counts for none/jacobi/cheb/cheb_jacobi/mg.
-    The reference is always unpreconditioned (solvers.f90)."""
+def run_precond1(args) -> int:
+    """One preconditioner's full-transient timing (scan path) — one JSON
+    line; invoked per candidate by run_precond in its own process (six
+    sims + their compiled executables in one process have crashed the TPU
+    worker)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -310,30 +315,58 @@ def run_precond(args) -> int:
     base_total, base_steps, path = BASELINES[args.case]
     model = _load(path, (102, 102, 24), base_steps)
     n_steps = args.steps or base_steps
+    name = args.precond or "none"
+    sim = Simulation(model, dtype=jnp.float32,
+                     precond=None if name == "none" else name)
+    warm, _ = sim.run_scan(num_steps=n_steps)
+    _force(warm.A)
+    del warm
+    t0 = time.perf_counter()
+    state, diag = sim.run_scan(num_steps=n_steps)
+    _force(state.A)
+    wall = time.perf_counter() - t0
+    iters = np.asarray(diag["iterations"])
+    return _emit(
+        f"{args.case}_precond_{name}", wall / n_steps, "s/step",
+        (base_total / base_steps) / (wall / n_steps),
+        iters_mean=round(float(iters.mean()), 1),
+        converged=bool(np.asarray(diag["converged"]).all()),
+        steps=n_steps,
+    )
+
+
+def run_precond(args) -> int:
+    """Preconditioner shoot-out on the case's full transient: wall time and
+    iteration counts for none/jacobi/cheb/cheb_jacobi/mg/ilu0, each in its
+    own subprocess.  The reference is always unpreconditioned
+    (solvers.f90)."""
+    import subprocess
+
+    base_total, base_steps, _ = BASELINES[args.case]
     table = {}
-    for name in ("none", "jacobi", "cheb", "cheb_jacobi", "mg"):
-        sim = Simulation(model, dtype=jnp.float32,
-                         precond=None if name == "none" else name)
-        warm, _ = sim.run_scan(num_steps=n_steps)
-        _force(warm.A)
-        del warm
-        t0 = time.perf_counter()
-        state, diag = sim.run_scan(num_steps=n_steps)
-        _force(state.A)
-        wall = time.perf_counter() - t0
-        iters = np.asarray(diag["iterations"])
-        table[name] = {
-            "s_per_step": round(wall / n_steps, 6),
-            "iters_mean": round(float(iters.mean()), 1),
-            "converged": bool(np.asarray(diag["converged"]).all()),
-        }
-        del sim, state
-    ok = {k: v for k, v in table.items() if v["converged"]}
+    for name in ("none", "jacobi", "cheb", "cheb_jacobi", "mg", "ilu0"):
+        cmd = [sys.executable, __file__, "--mode", "precond1",
+               "--case", args.case, "--precond", name]
+        if args.steps:
+            cmd += ["--steps", str(args.steps)]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        out = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if r.returncode or not out:
+            table[name] = {"error": r.stderr.strip()[-200:]}
+            continue
+        d = json.loads(out[-1])
+        table[name] = {"s_per_step": d["value"],
+                       "iters_mean": d.get("iters_mean"),
+                       "converged": d.get("converged")}
+    ok = {k: v for k, v in table.items() if v.get("converged")}
+    if not ok:
+        print(json.dumps({"error": f"all precond runs failed", "table": table}))
+        return 1
     best = min(ok, key=lambda k: ok[k]["s_per_step"])
     return _emit(
         f"{args.case}_precond_best", ok[best]["s_per_step"], "s/step",
         (base_total / base_steps) / ok[best]["s_per_step"],
-        best=best, table=table, steps=n_steps,
+        best=best, table=table, steps=args.steps or base_steps,
     )
 
 
@@ -416,7 +449,7 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--mode", default="e2e",
                     choices=["e2e", "roofline", "scaling", "scale256",
-                             "shardmv", "precond", "all"])
+                             "shardmv", "precond", "precond1", "all"])
     ap.add_argument("--devices", type=int, default=8,
                     help="virtual device count for --mode scaling/shardmv")
     ap.add_argument("--shape", default="256,256,64",
@@ -426,6 +459,10 @@ def main() -> int:
     ap.add_argument("--coeff-dtype", default=None, choices=[None, "bf16"],
                     help="store operator coefficients in bf16 (state stays "
                     "f32) for e2e/roofline modes")
+    ap.add_argument("--precond", default=None,
+                    choices=[None, "none", "jacobi", "cheb", "cheb_jacobi",
+                             "mg", "ilu0"],
+                    help="--mode precond1: which preconditioner to time")
     args = ap.parse_args()
 
     if args.mode == "all":
@@ -453,6 +490,8 @@ def main() -> int:
         return run_shardmv(args)
     if args.mode == "precond":
         return run_precond(args)
+    if args.mode == "precond1":
+        return run_precond1(args)
     if args.mode == "scale256":
         return run_scale256(args)
     if args.f64:

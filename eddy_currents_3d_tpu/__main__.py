@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=None,
                    help="run only the first N timesteps")
     p.add_argument("--precond", default=None,
-                   choices=["cheb", "jacobi", "cheb_jacobi", "mg"],
+                   choices=["cheb", "jacobi", "cheb_jacobi", "mg", "ilu0"],
                    help="right preconditioning: Chebyshev polynomial, "
                    "Jacobi, Chebyshev-on-Jacobi-scaled, or geometric "
                    "multigrid V-cycle")

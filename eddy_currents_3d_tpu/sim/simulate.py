@@ -130,9 +130,31 @@ class Simulation:
                 self.shard_op = ShardedStencilOperator(
                     self.system, mesh, dtype, use_pallas=bool(use_pallas))
 
-        if precond not in (None, "cheb", "jacobi", "cheb_jacobi", "mg"):
+        if precond not in (None, "cheb", "jacobi", "cheb_jacobi", "mg", "ilu0"):
             raise ValueError(f"unknown preconditioner {precond!r}")
         self.precond = precond
+        if precond == "ilu0":
+            # right-ILU(0) on the CSR export of the operator, applied as
+            # fixed Jacobi sweeps per triangle (solvers/ilu0.py).  The
+            # factor SpMVs are gathers over the global [Ax|Ay|Az|U]
+            # numbering — measured for the precond shoot-out, not expected
+            # to beat the stencil path's streaming preconditioners on TPU.
+            if mesh is not None:
+                raise ValueError("precond='ilu0' is single-device only")
+            from ..assembly.assemble import to_csr
+            from ..ops.sparse import CSRMatrix
+            from ..solvers.ilu0 import ilu0_factorize
+            csr = to_csr(self.system, model)
+            csr.sort_indices()
+            a = CSRMatrix(indptr=jnp.asarray(csr.indptr),
+                          cols=jnp.asarray(csr.indices),
+                          vals=jnp.asarray(csr.data),
+                          shape=csr.shape)
+            self._ilu = ilu0_factorize(a, dtype=dtype)
+            condno = model.cond_number.ravel()
+            order = np.nonzero(condno)[0]
+            self._u_cells = jnp.asarray(order[np.argsort(condno[order])])
+            self.ilu_sweeps = 4
         if precond == "mg":
             # geometric V-cycle on the shared A-block stencil (built in the
             # solve space: padded coefficients when the Pallas path is on)
@@ -333,6 +355,25 @@ class Simulation:
             from ..solvers.bicgstab import bicgstab_wr_right
             res = bicgstab_wr_right(
                 apply_fn, self._mg.apply, bb, xx0, tol, model.solver.itmax,
+                dot_dtype=self.dot_dtype,
+            )
+            sol_x = res.x
+        elif self.precond == "ilu0":
+            from ..solvers.bicgstab import bicgstab_wr_right
+            N3 = 3 * self._N
+
+            def minv(v: State) -> State:
+                vv = pad_op.unpad_state(v) if pad_op is not None else v
+                flat = jnp.concatenate(
+                    [vv.A.reshape(N3), vv.U.ravel()[self._u_cells]])
+                z = self._ilu.apply(flat, sweeps=self.ilu_sweeps)
+                zU = (jnp.zeros(vv.U.size, vv.U.dtype)
+                      .at[self._u_cells].set(z[N3:]).reshape(vv.U.shape))
+                out = State(z[:N3].reshape(vv.A.shape), zU)
+                return pad_op.pad_state(out) if pad_op is not None else out
+
+            res = bicgstab_wr_right(
+                apply_fn, minv, bb, xx0, tol, model.solver.itmax,
                 dot_dtype=self.dot_dtype,
             )
             sol_x = res.x

@@ -40,8 +40,12 @@ def tree_norm(a, dtype=None):
 
 
 def tree_axpy(alpha, x, y):
-    """y + alpha * x, leafwise."""
-    return jax.tree.map(lambda xi, yi: yi + alpha * xi, x, y)
+    """y + alpha * x, leafwise.  ``alpha`` is cast to each leaf's dtype so
+    higher-precision reduction scalars (dot_dtype) don't promote the
+    iterate (the while_loop carry must keep the operand dtype, e.g. bf16
+    state with f32 dots)."""
+    return jax.tree.map(
+        lambda xi, yi: yi + jnp.asarray(alpha, xi.dtype) * xi, x, y)
 
 
 def _tree_sub(a, b):
@@ -107,7 +111,9 @@ def bicgstab_wr(
         # same x without any full-state selects.
         omega_g = jnp.where(conv_s, jnp.zeros_like(omega), omega)
         x_new = jax.tree.map(
-            lambda xi, pi, si: xi + alpha * pi + omega_g * si, c.x, c.p, s
+            lambda xi, pi, si: (xi + jnp.asarray(alpha, xi.dtype) * pi
+                                + jnp.asarray(omega_g, xi.dtype) * si),
+            c.x, c.p, s,
         )
         r_new = tree_axpy(-omega_g, as_, s)
         r_rel = nrm(r_new) / bnorm
@@ -121,7 +127,8 @@ def bicgstab_wr(
         beta_g = jnp.where(restart | conv_s, jnp.zeros_like(beta), beta)
         omega_p = jnp.where(restart | conv_s, jnp.zeros_like(omega), omega)
         p_new = jax.tree.map(
-            lambda ri, pi, api: ri + beta_g * (pi - omega_p * api), r_new, c.p, ap
+            lambda ri, pi, api: ri + jnp.asarray(beta_g, ri.dtype)
+            * (pi - jnp.asarray(omega_p, ri.dtype) * api), r_new, c.p, ap
         )
         r0_new = jax.tree.map(
             lambda ri, r0i: jnp.where(restart, ri, r0i), r_new, c.r0

@@ -111,3 +111,18 @@ def test_zero_pivot_raises(rng):
     a = sparse.csr_matrix(np.array([[0.0, 1.0], [1.0, 1.0]]))
     with pytest.raises(ZeroDivisionError):
         ilu0_factorize(from_scipy(a, jnp.float64))
+
+
+def test_simulation_ilu0_precond_matches():
+    """precond='ilu0' wired into Simulation: same converged fields as the
+    unpreconditioned solve (both within the 5e-3 residual tolerance)."""
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    model = load_case(case_static(shape_xyz=(14, 14, 12), steps=2))
+    ref, rdiag = Simulation(model, dtype=jnp.float64).run()
+    ilu, idiag = Simulation(model, dtype=jnp.float64, precond="ilu0").run()
+    assert not idiag["unconverged_steps"]
+    scale = np.abs(np.asarray(ref.A)).max()
+    np.testing.assert_allclose(np.asarray(ilu.A), np.asarray(ref.A),
+                               atol=6e-3 * scale)

@@ -173,6 +173,21 @@ def test_bf16_coefficients_flat_path():
     assert err < 0.03, f"bf16-coefficient drift {err:.4f} too large"
 
 
+def test_bf16_state_dtype_runs():
+    """--dtype bf16 (state AND coefficients in bfloat16, f32 dots): the
+    step must compile and produce finite fields end-to-end."""
+    model = load_case(case_static(shape_xyz=(12, 12, 12), steps=1))
+    sim = Simulation(model, dtype=jnp.bfloat16, dot_dtype=jnp.float32,
+                     donate=False)
+    state = sim.init_state()
+    assert state.A.dtype == jnp.bfloat16
+    state, info = sim._step_jit(state, 0.0)
+    A = np.asarray(state.A, np.float32)
+    assert np.isfinite(A).all()
+    assert np.abs(A).max() > 0
+    assert int(info.iterations) > 0
+
+
 def test_boundary_stripping_simulates():
     """A conducting plate reaching the x faces with bound=ADDDDD: the face
     cells are reassigned to air (vxc2data.f90:609-622) and the stripped
