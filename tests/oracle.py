@@ -327,7 +327,10 @@ class OracleSimulator:
         self.inert_cells = model.domain_field("C").ravel() * 2.0 / model.tran.step
         self.flag_move = any(any(f.move) for f in model.functions)
 
-    def run(self, num_steps):
+    def run(self, num_steps, on_step=None):
+        """Run the transcription loop; ``on_step(step_idx, Uaf, Jaf, it)``
+        (1-based index, state *after* the step) lets callers snapshot
+        intermediate states, e.g. the production-golden generator."""
         m = self.model
         N = self.N
         dt = float(m.tran.step)
@@ -402,4 +405,6 @@ class OracleSimulator:
                     Jaf[b] = 0.0
                     Uaf[b] = 0.0
             T += dt
+            if on_step is not None:
+                on_step(len(iters), Uaf, Jaf, it)
         return Uaf, Jaf, iters
