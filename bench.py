@@ -467,6 +467,11 @@ def main() -> int:
 
     if args.mode == "all":
         return run_all(args)
+    if args.mode == "precond":
+        # pure subprocess dispatcher: must NOT import jax here — the axon
+        # TPU plugin takes a device lock at first backend init and the
+        # children need the chip (tpu-tunnel constraint, round 2)
+        return run_precond(args)
 
     if args.mode in ("scaling", "shardmv"):
         # must happen before jax import
@@ -488,8 +493,6 @@ def main() -> int:
         return run_scaling(args)
     if args.mode == "shardmv":
         return run_shardmv(args)
-    if args.mode == "precond":
-        return run_precond(args)
     if args.mode == "precond1":
         return run_precond1(args)
     if args.mode == "scale256":
@@ -531,6 +534,47 @@ def main() -> int:
         return 1
     per_step = wall / n_steps
 
+    # ---- solver-statistics attribution (so per-round perf changes are
+    # explainable): iterations/step, matvec latency on the solve path, and
+    # the matvec/dot wall shares of one solver iteration ----
+    import numpy as np
+    from eddy_currents_3d_tpu.assembly.stencil import State
+    iters = np.asarray(diag["iterations"])
+    total_it = int(iters.sum())
+    op = sim.shard_op or sim.pallas_op
+    if op is not None:
+        st0 = op.pad_state(State(state.A, state.U))
+        apply_fn = op.apply
+    else:
+        st0 = State(state.A, state.U)
+        apply_fn = sim.system.op.apply
+
+    def chain(fn, reps):
+        @jax.jit
+        def c(s):
+            def body(_, s):
+                y = fn(s)
+                return State(y.A * 1e-4, y.U * 1e-4)
+            s = jax.lax.fori_loop(0, reps, body, s)
+            return jnp.sum(s.A) + jnp.sum(s.U)
+        return c
+
+    def timed(fn, *a):
+        _force(fn(*a))
+        t0 = time.perf_counter()
+        _force(fn(*a))
+        return time.perf_counter() - t0
+
+    R = 64
+    t_mv = max(timed(chain(apply_fn, 2 * R), st0)
+               - timed(chain(apply_fn, R), st0), 1e-9) / R
+    # one fused State dot (a BiCGSTAB iteration runs ~5 of them)
+    dot = lambda s: State(s.A * (1e-30 * (jnp.sum(s.A * s.A)
+                                          + jnp.sum(s.U * s.U)) + 1.0), s.U)
+    t_dot = max(timed(chain(dot, 2 * R), st0)
+                - timed(chain(dot, R), st0), 1e-9) / R
+    t_iter = wall / max(total_it, 1)
+
     print(
         json.dumps(
             {
@@ -539,6 +583,12 @@ def main() -> int:
                 "value": round(per_step, 6),
                 "unit": "s/step",
                 "vs_baseline": round(baseline_per_step / per_step, 2),
+                "iters_mean": round(float(iters.mean()), 1),
+                "iters_max": int(iters.max()),
+                "total_iterations": total_it,
+                "matvec_us": round(t_mv * 1e6, 1),
+                "matvec_share": round(2 * t_mv / t_iter, 3),
+                "dot_share": round(5 * t_dot / t_iter, 3),
             }
         )
     )

@@ -120,12 +120,18 @@ def main(argv=None) -> int:
         # the reference prints grid/domain/solver parameters during parsing
         # (vxc2data.f90:99-248) and matrix stats after assembly
         # (EC3D.f90:965-971, 1046-1047)
-        nnz = 21 * model.n_cells + 13 * model.n_cond  # 7pt x 3 blocks + 13pt U rows
+        st = sim.system.matrix_stats()   # exact counts of the assembled coeffs
         print(f"case      : {args.vxc}")
         print(f"grid      : {sdx} x {sdy} x {sdz} = {model.n_cells} cells "
               f"({model.n_cond} conducting)")
         print(f"unknowns  : {3 * model.n_cells + model.n_cond} "
-              f"(3N A-rows + {model.n_cond} U-rows), nnz ~ {nnz}")
+              f"(3N A-rows + {model.n_cond} U-rows)")
+        print(f"matrix    : num_nzX= {st['nnz_x']} num_nzY= {st['nnz_y']} "
+              f"num_nzZ= {st['nnz_z']} num_nzU= {st['nnz_u']}")
+        print(f"            num_bndX= {st['bnd_x']} num_bndY= {st['bnd_y']} "
+              f"num_bndZ= {st['bnd_z']}")
+        print(f"            Non zero elem= {st['nnz']} "
+              f"Density of matrix: {st['density_pct']:.5g}%")
         print(f"domains   : {model.nsub} material + {model.nsub_air} air, "
               f"{len(model.functions)} source fn, {len(model.vmech)} motion fn")
         print(f"transient : stop={model.tran.stop} step={model.tran.step} "

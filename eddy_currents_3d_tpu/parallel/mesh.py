@@ -14,11 +14,15 @@ lanes would be pathological.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "grid_sharding", "shard_system", "shard_state", "replicated"]
+
+_warned_replicated: set = set()
 
 
 def make_mesh(n_z: int | None = None, n_y: int = 1, devices=None) -> Mesh:
@@ -37,10 +41,18 @@ def grid_sharding(mesh: Mesh, ndim: int, shape=None) -> NamedSharding:
     padded arrays inside the shard_map tier are always evenly divisible)."""
     spec = [None] * (ndim - 3) + ["z", "y", None]
     if shape is not None:
-        if shape[-3] % mesh.shape["z"]:
-            spec[-3] = None
-        if shape[-2] % mesh.shape.get("y", 1):
-            spec[-2] = None
+        for off, axis in ((-3, "z"), (-2, "y")):
+            n_ax = mesh.shape.get(axis, 1)
+            if n_ax > 1 and shape[off] % n_ax:
+                spec[off] = None
+                key = (axis, n_ax, shape[off])
+                if key not in _warned_replicated:  # once per (axis, extent)
+                    _warned_replicated.add(key)
+                    warnings.warn(
+                        f"grid axis {axis} (extent {shape[off]}) is not "
+                        f"divisible by the mesh's {n_ax} {axis}-devices; the "
+                        f"array is replicated along {axis} and that mesh "
+                        f"dimension contributes no parallelism", stacklevel=3)
     return NamedSharding(mesh, P(*spec))
 
 

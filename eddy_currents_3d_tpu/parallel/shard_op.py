@@ -79,7 +79,8 @@ class ShardedStencilOperator:
     """
 
     def __init__(self, system, mesh: Mesh, dtype=jnp.float32,
-                 use_pallas: bool = False, interpret: bool = False):
+                 use_pallas: bool = False, interpret: bool = False,
+                 coeff_dtype=None):
         if mesh.shape.get("y", 1) != 1:
             raise ValueError(
                 "the explicit halo tier shards z-slabs only; use a mesh with "
@@ -87,13 +88,20 @@ class ShardedStencilOperator:
         self.mesh = mesh
         self.n_z = int(mesh.shape["z"])
         self.dtype = dtype
+        self.coeff_dtype = coeff_dtype or dtype
         self.use_pallas = use_pallas
         self.interpret = interpret
 
         op = system.op
         nz, ny, nx = op.shape_zyx
         self.shape_zyx = (nz, ny, nx)
-        NYp, NXp = _pad_to(ny, _SUB), _pad_to(nx, _LANE)
+        # mirror ops/pallas_stencil.from_assembled: 2-byte operands (bf16
+        # coefficient streams) need sublane-16 tiling; the state shares the
+        # padded layout so it pads to 16 as well
+        sub = 16 if (jnp.dtype(self.coeff_dtype).itemsize == 2
+                     or jnp.dtype(dtype).itemsize == 2) else _SUB
+        self._sub = sub
+        NYp, NXp = _pad_to(ny, sub), _pad_to(nx, _LANE)
         # each shard needs >= 2 local planes for the ±2 U halos to stay
         # nearest-neighbor
         NZp = self.n_z * max(2, -(-nz // self.n_z))
@@ -101,7 +109,10 @@ class ShardedStencilOperator:
 
         gspec = lambda ndim: NamedSharding(
             mesh, P(*([None] * (ndim - 3) + ["z", None, None])))
-        put = lambda a: jax.device_put(jnp.asarray(a, dtype), gspec(a.ndim))
+        # coefficient streams in coeff_dtype (bf16 halves the dominant HBM
+        # traffic); state stays in `dtype` (handled by pad_state/diagonal)
+        put = lambda a: jax.device_put(
+            jnp.asarray(a, self.coeff_dtype), gspec(a.ndim))
 
         self.ka_p = put(_pad_zyx(np.asarray(system.np_ka), NZp, NYp, NXp))
 
@@ -311,12 +322,13 @@ class ShardedStencilOperator:
         """Operator diagonal in padded space (1 on padded / non-U cells) —
         for right-Jacobi under the shard tier."""
         NZp, NYp, NXp = self.padded_zyx
-        dA = jnp.broadcast_to(self.ka_p[0][None], (3, NZp, NYp, NXp))
+        ka0 = self.ka_p[0].astype(self.dtype)   # state dtype, not coeff dtype
+        dA = jnp.broadcast_to(ka0[None], (3, NZp, NYp, NXp))
         dA = jnp.where(dA == 0, jnp.ones((), self.dtype), dA)
         dU = jnp.ones((NZp, NYp, NXp), self.dtype)
         if self.box is not None:
             y0, y1, x0, x1 = self.box
-            ku0 = self.ku_p[0]
+            ku0 = self.ku_p[0].astype(self.dtype)
             dU = dU.at[:, y0:y1, x0:x1].set(
                 jnp.where(ku0 == 0, jnp.ones((), self.dtype), ku0))
         return State(dA, dU)

@@ -128,7 +128,8 @@ class Simulation:
             if use_shard_map:
                 from ..parallel.shard_op import ShardedStencilOperator
                 self.shard_op = ShardedStencilOperator(
-                    self.system, mesh, dtype, use_pallas=bool(use_pallas))
+                    self.system, mesh, dtype, use_pallas=bool(use_pallas),
+                    coeff_dtype=coeff_dtype)
 
         if precond not in (None, "cheb", "jacobi", "cheb_jacobi", "mg", "ilu0"):
             raise ValueError(f"unknown preconditioner {precond!r}")

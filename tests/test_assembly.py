@@ -163,3 +163,23 @@ def test_inertia_on_faces_extension():
     assert dext[4, 4, 4] == dref[4, 4, 4]
     # air cells: identical
     assert dext[0, 4, 4] == dref[0, 4, 4]
+
+
+def test_matrix_stats_match_oracle_counts():
+    """The CLI's exact matrix-stats print (EC3D.f90:965-971, 1046-1047):
+    per-block nnz and boundary-row counts must equal the oracle matrix's
+    actual per-row-block entry counts."""
+    model = load_case(case_static(shape_xyz=(14, 13, 11), steps=2))
+    sysm = assemble_operator(model, jnp.float64)
+    st = sysm.matrix_stats()
+    oracle, bnd_a, bnd_u = OracleSystem(model).to_scipy()
+    N = model.n_cells
+    nz = np.asarray(oracle.data) != 0.0
+    row_nnz = np.add.reduceat(nz, oracle.indptr[:-1])
+    blocks = [int(row_nnz[i * N:(i + 1) * N].sum()) for i in range(3)]
+    assert (st["nnz_x"], st["nnz_y"], st["nnz_z"]) == tuple(blocks)
+    assert st["nnz_u"] == int(row_nnz[3 * N:].sum())
+    assert st["nnz"] == sum(blocks) + st["nnz_u"]
+    assert (st["bnd_x"], st["bnd_y"], st["bnd_z"]) == tuple(
+        len(b) for b in bnd_a)
+    assert st["density_pct"] == pytest.approx(100.0 * st["nnz"] / N / N)

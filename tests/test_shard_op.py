@@ -132,3 +132,35 @@ def test_ymesh_falls_back_to_gspmd(team7ish):
     assert sim.shard_op is None          # y-columns -> GSPMD tier
     _, diag = sim.run(num_steps=1)
     assert not diag["unconverged_steps"]
+
+
+def test_sharded_coeff_dtype_matches_single_device(team7ish, rng):
+    """--coeff-dtype bf16 on a z-mesh: the shard tier must solve the same
+    bf16-rounded operator as the single-device path (coefficients in bf16,
+    state/accumulation in f32), with sublane-16 padding (ADVICE r2)."""
+    import dataclasses
+    model, sysm = team7ish
+    sys32 = assemble_operator(model, jnp.float32)
+    st = _random_state(model, sys32, rng)
+    st = State(st.A.astype(jnp.float32), st.U.astype(jnp.float32))
+    ref_sys = dataclasses.replace(sys32, op=sys32.op.astype(jnp.bfloat16))
+    y_ref = jax.jit(ref_sys.op.apply)(st)
+    assert y_ref.A.dtype == jnp.float32          # bf16 x f32 -> f32
+
+    sop = ShardedStencilOperator(sys32, make_mesh(4, 1), jnp.float32,
+                                 use_pallas=False, coeff_dtype=jnp.bfloat16)
+    assert sop.ka_p.dtype == jnp.bfloat16
+    assert sop._sub == 16                        # bf16 sublane tiling
+    assert sop.padded_zyx[1] % 16 == 0
+    y_sh = sop.unpad_state(jax.jit(sop.apply)(sop.pad_state(st)))
+    assert y_sh.A.dtype == jnp.float32
+    scale = np.abs(np.asarray(y_ref.A, np.float64)).max()
+    np.testing.assert_allclose(np.asarray(y_sh.A, np.float64),
+                               np.asarray(y_ref.A, np.float64),
+                               atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(y_sh.U, np.float64),
+                               np.asarray(y_ref.U, np.float64),
+                               atol=2e-6 * scale)
+    # Jacobi diagonal stays in the state dtype
+    d = sop.diagonal_padded()
+    assert d.A.dtype == jnp.float32 and d.U.dtype == jnp.float32
