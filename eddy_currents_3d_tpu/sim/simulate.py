@@ -117,14 +117,14 @@ class Simulation:
             else None
         )
 
-        # explicit multi-chip tier: z-slab shard_map with halo ppermute and
-        # per-shard fused kernels (parallel/shard_op.py).  Falls back to the
-        # GSPMD flat-roll tier for y-column meshes and for the mg
+        # explicit multi-chip tier: (z, y)-decomposed shard_map with halo
+        # ppermute and per-shard fused kernels (parallel/shard_op.py).
+        # Falls back to the GSPMD flat-roll tier only for the mg
         # preconditioner (whose V-cycle is built in unpadded space).
         self.shard_op = None
         if mesh is not None:
             if use_shard_map is None:
-                use_shard_map = mesh.shape.get("y", 1) == 1 and precond != "mg"
+                use_shard_map = precond != "mg"
             if use_shard_map:
                 from ..parallel.shard_op import ShardedStencilOperator
                 self.shard_op = ShardedStencilOperator(
@@ -135,27 +135,18 @@ class Simulation:
             raise ValueError(f"unknown preconditioner {precond!r}")
         self.precond = precond
         if precond == "ilu0":
-            # right-ILU(0) on the CSR export of the operator, applied as
-            # fixed Jacobi sweeps per triangle (solvers/ilu0.py).  The
-            # factor SpMVs are gathers over the global [Ax|Ay|Az|U]
-            # numbering — measured for the precond shoot-out, not expected
-            # to beat the stencil path's streaming preconditioners on TPU.
+            # right-ILU(0) in stencil form (solvers/ilu0.py
+            # ilu0_stencil_factorize): host factorization on the CSR
+            # export, factors re-expressed as strict-triangular stencil
+            # operators and applied as fixed Jacobi sweeps per triangle —
+            # streaming applies, never gathers (the ELL-gather form
+            # measured ~1000x slower per application on TPU and its
+            # compile crashed the worker in round 2's bench).
             if mesh is not None:
                 raise ValueError("precond='ilu0' is single-device only")
-            from ..assembly.assemble import to_csr
-            from ..ops.sparse import CSRMatrix
-            from ..solvers.ilu0 import ilu0_factorize
-            csr = to_csr(self.system, model)
-            csr.sort_indices()
-            a = CSRMatrix(indptr=jnp.asarray(csr.indptr),
-                          cols=jnp.asarray(csr.indices),
-                          vals=jnp.asarray(csr.data),
-                          shape=csr.shape)
-            self._ilu = ilu0_factorize(a, dtype=dtype)
-            condno = model.cond_number.ravel()
-            order = np.nonzero(condno)[0]
-            self._u_cells = jnp.asarray(order[np.argsort(condno[order])])
-            self.ilu_sweeps = 4
+            from ..solvers.ilu0 import ilu0_stencil_factorize
+            self._ilu = ilu0_stencil_factorize(self.system, model, dtype=dtype)
+            self.ilu_sweeps = 2
         if precond == "mg":
             # geometric V-cycle on the shared A-block stencil (built in the
             # solve space: padded coefficients when the Pallas path is on)
@@ -361,16 +352,10 @@ class Simulation:
             sol_x = res.x
         elif self.precond == "ilu0":
             from ..solvers.bicgstab import bicgstab_wr_right
-            N3 = 3 * self._N
 
             def minv(v: State) -> State:
                 vv = pad_op.unpad_state(v) if pad_op is not None else v
-                flat = jnp.concatenate(
-                    [vv.A.reshape(N3), vv.U.ravel()[self._u_cells]])
-                z = self._ilu.apply(flat, sweeps=self.ilu_sweeps)
-                zU = (jnp.zeros(vv.U.size, vv.U.dtype)
-                      .at[self._u_cells].set(z[N3:]).reshape(vv.U.shape))
-                out = State(z[:N3].reshape(vv.A.shape), zU)
+                out = self._ilu.apply(vv, sweeps=self.ilu_sweeps)
                 return pad_op.pad_state(out) if pad_op is not None else out
 
             res = bicgstab_wr_right(

@@ -41,7 +41,8 @@ from ..ops.sparse import CSRMatrix, ELLMatrix
 from ..ops.native import ilu0_native, ilu0_solve_native
 from .bicgstab import bicgstab_wr, SolveResult
 
-__all__ = ["ilu0_factorize", "ILU0Preconditioner", "bicgstab_ilu0"]
+__all__ = ["ilu0_factorize", "ILU0Preconditioner", "bicgstab_ilu0",
+           "StencilILU0", "ilu0_stencil_factorize"]
 
 
 def _ilu0_numpy(indptr: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> np.ndarray:
@@ -171,6 +172,200 @@ def ilu0_solve_exact(a: CSRMatrix, b: np.ndarray) -> np.ndarray:
                 piv = fvals[t]
         x[i] /= piv
     return x
+
+
+# ----------------------------------------------------------------------
+# Stencil-form ILU(0): the TPU production path.
+#
+# The global matrix's nonzero pattern is a block stencil (assembly/
+# stencil.py: shared 7-offset A blocks, gu/ku/da coupling fields), and
+# ILU(0) by definition keeps that pattern — so the L and U factors are
+# *themselves* stencil operators.  The factored values are extracted from
+# the host CSR factorization back into coefficient fields and the
+# triangular sweeps run as flat-roll streaming stencil applies (the same
+# machinery as the forward operator) instead of per-row gathers.  On TPU
+# the ELL-gather application above costs ~1000x a stencil apply for the
+# production TEAM7 matrix (measured: ~50 ms vs ~55 us) and its compile
+# inside scan+while_loop is what crashed the TPU worker in round 2's
+# bench; the stencil form is the fix.
+#
+# Within-block invariance: eliminating an A row updates same-block entries
+# only through same-block values (gu columns live in the U block and can
+# never alias a block column), so the three A components factor to
+# IDENTICAL block coefficients — one shared (7,)-field pair serves Ax/Ay/Az,
+# exactly like the forward ka.  (Asserted against the CSR factors in
+# tests/test_ilu0_stencil.py.)
+#
+# Column/row order inside the U block follows the reference's conducting
+# numbering (PHYS_C order, vxc2data.f90:624-651), which need not be
+# monotone in the flat cell index — each ku offset is therefore split
+# entrywise into strict-lower/strict-upper by the actual global column
+# comparison.  gu columns are always upper (3N + ... > any A row); da
+# columns always lower (< 3N).
+# ----------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class StencilILU0:
+    """ILU(0) factors as stencil operators on the State space.
+
+    ``L_op``/``U_op`` are strict-triangular :class:`StencilOperator`
+    instances (L has unit diagonal, held implicitly); ``inv_dA``/``inv_dU``
+    are the inverted U-factor diagonals (A blocks share one field)."""
+
+    L_op: object          # StencilOperator, strict lower
+    U_op: object          # StencilOperator, strict upper
+    d_A: jax.Array        # (nz,ny,nx) U-factor diagonal, shared by Ax/Ay/Az
+    d_U: jax.Array        # (nz,ny,nx) U-factor diagonal of U rows (1 off-cond)
+    inv_dA: jax.Array
+    inv_dU: jax.Array
+
+    def _invd(self, s):
+        from ..assembly.stencil import State
+        return State(self.inv_dA[None] * s.A, self.inv_dU * s.U)
+
+    def apply(self, v, sweeps: int = 2):
+        """z ~= U^-1 L^-1 v via ``sweeps`` Jacobi sweeps per triangle
+        (truncated Neumann series — fixed and linear, hence a legitimate
+        stationary right preconditioner; see module docstring of the ELL
+        tier above for the semantics argument)."""
+        from ..assembly.stencil import State
+        y = v
+        for _ in range(sweeps):
+            ly = self.L_op.apply(y)
+            y = State(v.A - ly.A, v.U - ly.U)
+        x = self._invd(y)
+        for _ in range(sweeps):
+            ux = self.U_op.apply(x)
+            x = self._invd(State(y.A - ux.A, y.U - ux.U))
+        return x
+
+    def matvec(self, x):
+        """M x = L (U x) — warm-start map for right preconditioning."""
+        from ..assembly.stencil import State
+        ux = self.U_op.apply(x)
+        ux = State(ux.A + self.d_A[None] * x.A, ux.U + self.d_U * x.U)
+        lux = self.L_op.apply(ux)
+        return State(ux.A + lux.A, ux.U + lux.U)
+
+
+def ilu0_stencil_factorize(system, model, dtype=None) -> "StencilILU0":
+    """Host ILU(0) on the exported CSR, re-expressed as stencil fields.
+
+    Everything stays on host numpy until the final device put — no
+    device round-trips (reading the 5.9M-entry CSR back over a remote-TPU
+    tunnel measured ~350 s in round 3's bisection)."""
+    from ..assembly.assemble import to_csr
+    from ..assembly.stencil import OFFSETS7, StencilOperator
+
+    dtype = dtype or jnp.float32
+    csr = to_csr(system, model)
+    csr.sort_indices()
+    indptr = np.asarray(csr.indptr, np.int64)
+    cols = np.asarray(csr.indices, np.int32)
+    fv = ilu0_native(indptr, cols, np.asarray(csr.data, np.float64))
+    if fv is None:
+        fv = _ilu0_numpy(indptr, cols, np.asarray(csr.data, np.float64))
+
+    ntot = csr.shape[0]
+    rows = np.repeat(np.arange(ntot, dtype=np.int64), np.diff(indptr))
+    keys = rows * ntot + cols          # ascending (CSR + sorted columns)
+
+    def lookup(r, c):
+        idx = np.searchsorted(keys, r.astype(np.int64) * ntot + c)
+        assert np.array_equal(keys[idx], r.astype(np.int64) * ntot + c), \
+            "ILU(0) pattern mismatch during stencil extraction"
+        return fv[idx]
+
+    nz, ny, nx = system.shape_zyx
+    shape = (nz, ny, nx)
+    N = nx * ny * nz
+    flat = np.arange(N, dtype=np.int64)
+    stride = {0: 1, 1: nx, 2: nx * ny}
+    condno = model.cond_number.ravel().astype(np.int64)
+    u_col = 3 * N + condno - 1         # valid where condno > 0
+
+    # --- A blocks: extract from block 0 (shared across components) ---
+    kaF = np.zeros((7, N))
+    for o, (axis, d) in enumerate(OFFSETS7):
+        keep = system.np_ka[o].ravel() != 0.0
+        tgt = flat if d == 0 else flat + d * stride[axis]
+        kaF[o, keep] = lookup(flat[keep], tgt[keep])
+    kaL = np.zeros((7,) + shape)
+    kaU = np.zeros((7,) + shape)
+    for o in (1, 3, 5):                # minus offsets: col < row
+        kaL[o] = kaF[o].reshape(shape)
+    for o in (2, 4, 6):                # plus offsets: col > row
+        kaU[o] = kaF[o].reshape(shape)
+    d_A = kaF[0].reshape(shape)
+
+    # --- gu: A-row -> U-column coupling, always strict upper ---
+    guU = np.zeros((3, 5) + shape)
+    for c in range(3):
+        for k, d in enumerate((-2, -1, 0, +1, +2)):
+            keep = system.np_gu[c, k].ravel() != 0.0
+            tgt = np.clip(flat + d * stride[c], 0, N - 1)
+            guU[c, k].reshape(N)[keep] = lookup(
+                c * N + flat[keep], u_col[tgt[keep]])
+
+    # --- da: U-row -> A-column coupling, always strict lower ---
+    daL = np.zeros((3, 3) + shape)
+    for c in range(3):
+        for k, d in enumerate((-1, 0, +1)):
+            keep = system.np_da[c, k].ravel() != 0.0
+            tgt = np.clip(flat + d * stride[c], 0, N - 1)
+            daL[c, k].reshape(N)[keep] = lookup(
+                u_col[flat[keep]], c * N + tgt[keep])
+
+    # --- ku: split per entry by the conducting-number order ---
+    kuL = np.zeros((7,) + shape)
+    kuU = np.zeros((7,) + shape)
+    d_U = np.ones(shape)
+    keep0 = system.np_ku[0].ravel() != 0.0
+    d_U.reshape(N)[keep0] = lookup(u_col[keep0], u_col[keep0])
+    for o, (axis, d) in enumerate(OFFSETS7):
+        if o == 0:
+            continue
+        keep = system.np_ku[o].ravel() != 0.0
+        tgt = np.clip(flat + d * stride[axis], 0, N - 1)
+        r, c = u_col[keep], u_col[tgt[keep]]
+        vals = lookup(r, c)
+        lower = c < r
+        tmpL = np.zeros(N); tmpU = np.zeros(N)
+        idx = np.nonzero(keep)[0]
+        tmpL[idx[lower]] = vals[lower]
+        tmpU[idx[~lower]] = vals[~lower]
+        kuL[o] = tmpL.reshape(shape)
+        kuU[o] = tmpU.reshape(shape)
+
+    # box restriction (same window as the forward operator)
+    box = system.op.box
+    if box is not None:
+        z0, z1, y0, y1, x0, x1 = box
+        bsl = (slice(z0, z1), slice(y0, y1), slice(x0, x1))
+        gu_b = guU[(slice(None), slice(None)) + bsl]
+        kuL_b = kuL[(slice(None),) + bsl]
+        kuU_b = kuU[(slice(None),) + bsl]
+        da_b = daL[(slice(None), slice(None)) + bsl]
+    else:
+        gu_b = np.zeros((3, 5, 0, 0, 0))
+        kuL_b = kuU_b = np.zeros((7, 0, 0, 0))
+        da_b = np.zeros((3, 3, 0, 0, 0))
+
+    zero_gu = np.zeros_like(gu_b)
+    zero_da = np.zeros_like(da_b)
+    L_op = StencilOperator(
+        ka=jnp.asarray(kaL, dtype), gu=jnp.asarray(zero_gu, dtype),
+        ku=jnp.asarray(kuL_b, dtype), da=jnp.asarray(da_b, dtype), box=box)
+    U_op = StencilOperator(
+        ka=jnp.asarray(kaU, dtype), gu=jnp.asarray(gu_b, dtype),
+        ku=jnp.asarray(kuU_b, dtype), da=jnp.asarray(zero_da, dtype), box=box)
+    d_Aj = jnp.asarray(d_A, dtype)
+    d_Uj = jnp.asarray(d_U, dtype)
+    return StencilILU0(
+        L_op=L_op, U_op=U_op, d_A=d_Aj, d_U=d_Uj,
+        inv_dA=1.0 / d_Aj, inv_dU=1.0 / d_Uj)
 
 
 def bicgstab_ilu0(a: CSRMatrix, b, x0, tol, itmax, sweeps: int = 4,

@@ -126,12 +126,88 @@ def test_sharded_jacobi_converges(team7ish):
     assert not diag["unconverged_steps"]
 
 
-def test_ymesh_falls_back_to_gspmd(team7ish):
+def test_2d_mesh_apply_matches_flat(team7ish, rng):
+    """(z, y) 2-D decomposition (round-3 extension): per-shard kernels +
+    y-face coefficient surgery + ppermute ghosts along both axes must
+    reproduce the single-device operator exactly."""
+    model, sysm = team7ish
+    st = _random_state(model, sysm, rng)
+    y_ref = jax.jit(sysm.op.apply)(st)
+    for mz, my in ((4, 2), (2, 4), (2, 2)):
+        sop = ShardedStencilOperator(sysm, make_mesh(mz, my), jnp.float64,
+                                     use_pallas=False)
+        y_sh = sop.unpad_state(jax.jit(sop.apply)(sop.pad_state(st)))
+        assert len(y_sh.A.sharding.device_set) == mz * my
+        scale = np.abs(np.asarray(y_ref.A)).max()
+        np.testing.assert_allclose(np.asarray(y_sh.A), np.asarray(y_ref.A),
+                                   atol=1e-13 * scale, err_msg=f"mesh ({mz},{my})")
+        np.testing.assert_allclose(np.asarray(y_sh.U), np.asarray(y_ref.U),
+                                   atol=1e-13 * scale, err_msg=f"mesh ({mz},{my})")
+
+
+def test_2d_mesh_apply_pallas_interpret(team7ish, rng):
+    """The Pallas backend on a (2, 2) mesh (interpreter mode on CPU)."""
+    model, sysm = team7ish
+    st = _random_state(model, sysm, rng)
+    y_ref = jax.jit(sysm.op.apply)(st)
+    sop = ShardedStencilOperator(sysm, make_mesh(2, 2), jnp.float64,
+                                 use_pallas=True, interpret=True)
+    y_sh = sop.unpad_state(jax.jit(sop.apply)(sop.pad_state(st)))
+    scale = np.abs(np.asarray(y_ref.A)).max()
+    np.testing.assert_allclose(np.asarray(y_sh.A), np.asarray(y_ref.A),
+                               atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(y_sh.U), np.asarray(y_ref.U),
+                               atol=1e-13 * scale)
+
+
+def test_2d_mesh_apply_div_matches(team7ish, rng):
+    model, sysm = team7ish
+    st = _random_state(model, sysm, rng)
+    d_ref = jax.jit(sysm.op.apply_div)(st.A)
+    sop = ShardedStencilOperator(sysm, make_mesh(4, 2), jnp.float64)
+    d_sh = jax.jit(sop.apply_div)(st.A)
+    scale = max(np.abs(np.asarray(d_ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               atol=1e-13 * scale)
+
+
+def test_2d_mesh_uses_collective_permute_not_allgather(team7ish, rng):
+    """VERDICT r2 item 5 'done' check: the (4, 2) mesh runs a kernel-speed
+    explicit path whose halos are point-to-point permutes."""
+    model, sysm = team7ish
+    st = _random_state(model, sysm, rng)
+    sop = ShardedStencilOperator(sysm, make_mesh(4, 2), jnp.float64)
+    hlo = jax.jit(sop.apply).lower(sop.pad_state(st)).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+
+
+def test_2d_mesh_simulation_matches_single_device(team7ish):
+    """Full transient on a (4, 2) mesh through the explicit tier =="""
     model, _ = team7ish
-    sim = Simulation(model, dtype=jnp.float64, mesh=make_mesh(4, 2))
-    assert sim.shard_op is None          # y-columns -> GSPMD tier
-    _, diag = sim.run(num_steps=1)
-    assert not diag["unconverged_steps"]
+    ref_state, ref_diag = Simulation(model, dtype=jnp.float64,
+                                     dot_dtype=jnp.float64).run()
+    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64,
+                     mesh=make_mesh(4, 2))
+    assert sim.shard_op is not None      # y-meshes no longer fall back
+    sh_state, sh_diag = sim.run()
+    assert len(sh_state.A.sharding.device_set) == 8
+    scale = np.abs(np.asarray(ref_state.A)).max()
+    np.testing.assert_allclose(np.asarray(sh_state.A),
+                               np.asarray(ref_state.A), atol=1e-9 * scale)
+    assert sh_diag["iterations"] == ref_diag["iterations"]
+
+
+def test_2d_mesh_uneven_extents():
+    """ny=13, nz=11 over a (2, 4) mesh: both axes pad to inert planes."""
+    model = load_case(case_static(shape_xyz=(12, 13, 11), steps=2))
+    ref_state, _ = Simulation(model, dtype=jnp.float64).run()
+    sim = Simulation(model, dtype=jnp.float64, mesh=make_mesh(2, 4))
+    assert sim.shard_op is not None
+    sh_state, _ = sim.run()
+    scale = np.abs(np.asarray(ref_state.A)).max()
+    np.testing.assert_allclose(np.asarray(sh_state.A),
+                               np.asarray(ref_state.A), atol=1e-9 * scale)
 
 
 def test_sharded_coeff_dtype_matches_single_device(team7ish, rng):
