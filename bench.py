@@ -316,8 +316,12 @@ def run_precond1(args) -> int:
     model = _load(path, (102, 102, 24), base_steps)
     n_steps = args.steps or base_steps
     name = args.precond or "none"
-    sim = Simulation(model, dtype=jnp.float32,
-                     precond=None if name == "none" else name)
+    kw = {}
+    if name == "cheb_jacobi8":          # higher-order Chebyshev candidate
+        kw = {"precond": "cheb_jacobi", "cheb_order": 8}
+    elif name != "none":
+        kw = {"precond": name}
+    sim = Simulation(model, dtype=jnp.float32, **kw)
     warm, _ = sim.run_scan(num_steps=n_steps)
     _force(warm.A)
     del warm
@@ -344,7 +348,8 @@ def run_precond(args) -> int:
 
     base_total, base_steps, _ = BASELINES[args.case]
     table = {}
-    for name in ("none", "jacobi", "cheb", "cheb_jacobi", "mg", "ilu0"):
+    for name in ("none", "jacobi", "cheb", "cheb_jacobi", "cheb_jacobi8",
+                 "mg", "ilu0"):
         cmd = [sys.executable, __file__, "--mode", "precond1",
                "--case", args.case, "--precond", name]
         if args.steps:
@@ -461,7 +466,7 @@ def main() -> int:
                     "f32) for e2e/roofline modes")
     ap.add_argument("--precond", default=None,
                     choices=[None, "none", "jacobi", "cheb", "cheb_jacobi",
-                             "mg", "ilu0"],
+                             "cheb_jacobi8", "mg", "ilu0"],
                     help="--mode precond1: which preconditioner to time")
     args = ap.parse_args()
 

@@ -58,8 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "multigrid V-cycle")
     p.add_argument("--mesh", default=None, metavar="Z[,Y]",
                    help="shard over a ZxY device mesh (e.g. --mesh 4 or "
-                   "--mesh 4,2); Z-only meshes use the explicit "
-                   "shard_map+halo tier, ZxY meshes the GSPMD tier")
+                   "--mesh 4,2) through the explicit shard_map+halo tier "
+                   "(2-D decompositions included)")
+    p.add_argument("--warm-start", default="extrapolate",
+                   choices=["extrapolate", "previous"],
+                   help="per-step solver warm start: linear extrapolation "
+                   "of the last two solutions (default; ~1.4x fewer "
+                   "iterations at the same residual tolerance) or the "
+                   "reference's previous-solution start (EC3D.f90:408)")
     p.add_argument("--scan", action="store_true",
                    help="run the transient as one on-device lax.scan "
                    "dispatch (max throughput; VTK output streams via "
@@ -112,6 +118,7 @@ def main(argv=None) -> int:
         coeff_dtype=_dtype(args.coeff_dtype) if args.coeff_dtype else None,
         mesh=mesh,
         precond=args.precond,
+        warm_start=args.warm_start,
     )
 
     info = not args.quiet

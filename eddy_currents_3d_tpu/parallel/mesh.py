@@ -95,6 +95,8 @@ def shard_state(state, mesh: Mesh):
     from ..sim.simulate import SimState
     from ..sim.motion import MotionState
 
+    from ..assembly.stencil import State
+
     return SimState(
         A=_put_grid(state.A, mesh),
         U=_put_grid(state.U, mesh),
@@ -103,4 +105,6 @@ def shard_state(state, mesh: Mesh):
             distance=jax.device_put(state.motion.distance, replicated(mesh)),
             movestop=jax.device_put(state.motion.movestop, replicated(mesh)),
         ),
+        prev=(State(_put_grid(state.prev.A, mesh), _put_grid(state.prev.U, mesh))
+              if state.prev is not None else None),
     )

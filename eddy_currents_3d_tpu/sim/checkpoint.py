@@ -56,6 +56,10 @@ def save_checkpoint(path: str, state: SimState, step_index: int, npoint: int,
                     fingerprint: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
+    extra = {}
+    if state.prev is not None:   # extrapolated-warm-start history
+        extra = {"prevA": np.asarray(state.prev.A),
+                 "prevU": np.asarray(state.prev.U)}
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,
         format=np.int64(_FORMAT),
@@ -67,6 +71,7 @@ def save_checkpoint(path: str, state: SimState, step_index: int, npoint: int,
         step_index=np.int64(step_index),
         npoint=np.int64(npoint),
         fingerprint=np.frombuffer(fingerprint.encode(), np.uint8),
+        **extra,
     )
     # numpy appends .npz to the tmp name
     os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
@@ -84,6 +89,7 @@ def load_checkpoint(path: str, fingerprint: str, dtype=None):
             f"(stored {stored[:12]}..., current {fingerprint[:12]}...)"
         )
     cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    from ..assembly.stencil import State
     state = SimState(
         A=cast(z["A"]),
         U=cast(z["U"]),
@@ -92,6 +98,8 @@ def load_checkpoint(path: str, fingerprint: str, dtype=None):
             distance=jnp.asarray(z["distance"]),
             movestop=jnp.asarray(z["movestop"]),
         ),
+        prev=(State(cast(z["prevA"]), cast(z["prevU"]))
+              if "prevA" in z.files else None),
     )
     return state, int(z["step_index"]), int(z["npoint"])
 

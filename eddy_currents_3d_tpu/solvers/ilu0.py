@@ -205,21 +205,28 @@ def ilu0_solve_exact(a: CSRMatrix, b: np.ndarray) -> np.ndarray:
 # ----------------------------------------------------------------------
 
 
+from dataclasses import field as _dc_field
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class StencilILU0:
     """ILU(0) factors as stencil operators on the State space.
 
-    ``L_op``/``U_op`` are strict-triangular :class:`StencilOperator`
-    instances (L has unit diagonal, held implicitly); ``inv_dA``/``inv_dU``
-    are the inverted U-factor diagonals (A blocks share one field)."""
+    ``L_op``/``U_op`` are strict-triangular stencil operators (L has unit
+    diagonal, held implicitly); ``inv_dA``/``inv_dU`` are the inverted
+    U-factor diagonals (A blocks share one field).  With ``padded=True``
+    the factors are :class:`PallasStencilOperator` instances and the whole
+    preconditioner operates in the solver's padded space — fused-kernel
+    applies, no pad/unpad round trips per application."""
 
-    L_op: object          # StencilOperator, strict lower
-    U_op: object          # StencilOperator, strict upper
+    L_op: object          # strict lower
+    U_op: object          # strict upper
     d_A: jax.Array        # (nz,ny,nx) U-factor diagonal, shared by Ax/Ay/Az
     d_U: jax.Array        # (nz,ny,nx) U-factor diagonal of U rows (1 off-cond)
     inv_dA: jax.Array
     inv_dU: jax.Array
+    padded: bool = _dc_field(metadata=dict(static=True), default=False)
 
     def _invd(self, s):
         from ..assembly.stencil import State
@@ -250,12 +257,18 @@ class StencilILU0:
         return State(ux.A + lux.A, ux.U + lux.U)
 
 
-def ilu0_stencil_factorize(system, model, dtype=None) -> "StencilILU0":
+def ilu0_stencil_factorize(system, model, dtype=None,
+                           pallas: bool = False) -> "StencilILU0":
     """Host ILU(0) on the exported CSR, re-expressed as stencil fields.
 
     Everything stays on host numpy until the final device put — no
     device round-trips (reading the 5.9M-entry CSR back over a remote-TPU
-    tunnel measured ~350 s in round 3's bisection)."""
+    tunnel measured ~350 s in round 3's bisection).
+
+    ``pallas=True`` materializes the factors as padded
+    :class:`PallasStencilOperator` pairs (fused TPU kernels, same layout
+    as the forward operator) so the preconditioner runs at kernel speed
+    in the solver's padded space."""
     from ..assembly.assemble import to_csr
     from ..assembly.stencil import OFFSETS7, StencilOperator
 
@@ -352,6 +365,31 @@ def ilu0_stencil_factorize(system, model, dtype=None) -> "StencilILU0":
         gu_b = np.zeros((3, 5, 0, 0, 0))
         kuL_b = kuU_b = np.zeros((7, 0, 0, 0))
         da_b = np.zeros((3, 3, 0, 0, 0))
+
+    if pallas:
+        # factors as padded fused-kernel operators in the solver's space
+        import dataclasses
+        from ..ops import pallas_stencil
+
+        def pl_op(kaX, guX, kuX, daX):
+            shim = dataclasses.replace(
+                system,
+                op=dataclasses.replace(system.op, ka=system.op.ka.astype(dtype)),
+                np_ka=kaX, np_gu=guX, np_ku=kuX, np_da=daX)
+            return pallas_stencil.from_assembled(shim)
+
+        L_op = pl_op(kaL, np.zeros_like(guU), kuL, daL)
+        U_op = pl_op(kaU, guU, kuU, np.zeros_like(daL))
+        _, NYp, NXp = L_op.padded_zyx
+        dAp = pallas_stencil._pad3(d_A, NYp, NXp)
+        dAp[dAp == 0] = 1.0                      # padded rows: identity
+        dUp = pallas_stencil._pad3(d_U, NYp, NXp)
+        dUp[dUp == 0] = 1.0
+        d_Aj = jnp.asarray(dAp, dtype)
+        d_Uj = jnp.asarray(dUp, dtype)
+        return StencilILU0(
+            L_op=L_op, U_op=U_op, d_A=d_Aj, d_U=d_Uj,
+            inv_dA=1.0 / d_Aj, inv_dU=1.0 / d_Uj, padded=True)
 
     zero_gu = np.zeros_like(gu_b)
     zero_da = np.zeros_like(da_b)

@@ -102,7 +102,8 @@ def test_moving_simulation_matches_oracle_loop():
     from oracle import OracleSimulator
 
     model = load_case(case_moving(shape_xyz=(16, 16, 10), steps=3))
-    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64)
+    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64,
+                     warm_start="previous")
     st, diag = sim.run()
     Uaf, Jaf, iters = OracleSimulator(model).run(3)
 

@@ -29,7 +29,9 @@ def test_schedule_matches_reference_bookkeeping():
 
 def test_static_simulation_matches_oracle():
     model = load_case(case_static(shape_xyz=(16, 16, 10), steps=3))
-    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64)
+    # the oracle loop warm-starts from the previous solution
+    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64,
+                     warm_start="previous")
     st, diag = sim.run()
     Uaf, Jaf, iters_o = OracleSimulator(model).run(3)
 
@@ -55,7 +57,8 @@ def test_static_simulation_matches_oracle():
 
 def test_lim_simulation_matches_oracle():
     model = load_case(case_lim(shape_xyz=(24, 11, 10), steps=3))
-    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64)
+    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64,
+                     warm_start="previous")
     st, diag = sim.run()
     Uaf, Jaf, _ = OracleSimulator(model).run(3)
     N = model.n_cells
