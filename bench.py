@@ -38,6 +38,22 @@ BASELINES = {
     "lim": (105.0, 200, "/root/reference/src/LIM.vxc"),
 }
 
+# production solve configuration per case — the measured winner of the
+# recorded `--mode precond` shoot-out (round 3, 100/200-step transients on
+# TPU v5e).  Delta-form right preconditioning preserves the reference's
+# ||b - A x||/||b|| < tol stopping criterion (solvers/bicgstab.py:
+# bicgstab_wr_right), so this is pure speed: the 250k-cell cases win ~10%
+# with order-8 Chebyshev on the Jacobi-scaled operator (9.4 vs 84.6
+# iters/step at identical total matvec traffic, saving the per-iteration
+# loop overhead); the smaller LIM case converges in ~20 iterations bare and
+# the polynomial's fixed cost loses (none 363x vs cheb8 214x) — so its
+# production config is unpreconditioned.
+BEST_CONFIG = {
+    "team7": {"precond": "cheb_jacobi", "cheb_order": 8},
+    "move": {"precond": "cheb_jacobi", "cheb_order": 8},
+    "lim": {},
+}
+
 
 def ap_default_shape() -> str:
     return "256,256,64"
@@ -519,9 +535,10 @@ def main() -> int:
         model = load_case(case_static(shape_xyz=(102, 102, 24), steps=base_steps))
 
     dtype = jnp.float64 if args.f64 else jnp.float32
+    best = BEST_CONFIG.get(args.case, {})
     sim = Simulation(model, dtype=dtype,
                      coeff_dtype=jnp.bfloat16 if args.coeff_dtype == "bf16"
-                     else None)
+                     else None, **best)
     n_steps = args.steps if args.steps is not None else len(sim.steps)
 
     # compile once on a throwaway state (first step dominates otherwise);
@@ -565,15 +582,24 @@ def main() -> int:
         return c
 
     def timed(fn, *a):
+        """Median of 3 synced wall times (tunnel RTT jitter is ~ms; the
+        differenced work below must stay well above it)."""
         _force(fn(*a))
-        t0 = time.perf_counter()
-        _force(fn(*a))
-        return time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
 
-    R = 64
+    R = 512
     t_mv = max(timed(chain(apply_fn, 2 * R), st0)
                - timed(chain(apply_fn, R), st0), 1e-9) / R
-    # one fused State dot (a BiCGSTAB iteration runs ~5 of them)
+    # one fused State dot (a BiCGSTAB iteration runs ~5 of them).  NOTE:
+    # standalone costs are NOT additive inside the solver loop — XLA fuses
+    # the dots into the matvec passes (measured: iter_us ~= 2 * matvec_us
+    # with the 5 dots effectively free) — so raw latencies are reported
+    # instead of wall "shares".
     dot = lambda s: State(s.A * (1e-30 * (jnp.sum(s.A * s.A)
                                           + jnp.sum(s.U * s.U)) + 1.0), s.U)
     t_dot = max(timed(chain(dot, 2 * R), st0)
@@ -591,9 +617,13 @@ def main() -> int:
                 "iters_mean": round(float(iters.mean()), 1),
                 "iters_max": int(iters.max()),
                 "total_iterations": total_it,
+                "iter_us": round(t_iter * 1e6, 1),
                 "matvec_us": round(t_mv * 1e6, 1),
-                "matvec_share": round(2 * t_mv / t_iter, 3),
-                "dot_share": round(5 * t_dot / t_iter, 3),
+                "dot_us": round(t_dot * 1e6, 1),
+                "config": {"precond": best.get("precond", "none"),
+                           "warm_start": "extrapolate",
+                           **({"cheb_order": best["cheb_order"]}
+                              if "cheb_order" in best else {})},
             }
         )
     )
