@@ -563,7 +563,7 @@ def main() -> int:
     from eddy_currents_3d_tpu.assembly.stencil import State
     iters = np.asarray(diag["iterations"])
     total_it = int(iters.sum())
-    op = sim.shard_op or sim.pallas_op
+    op = sim.shard_op or sim.coded_op or sim.pallas_op
     if op is not None:
         st0 = op.pad_state(State(state.A, state.U))
         apply_fn = op.apply

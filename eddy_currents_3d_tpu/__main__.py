@@ -148,7 +148,7 @@ def main(argv=None) -> int:
         dev = jax.devices()[0]
         ndev = mesh.devices.size if mesh is not None else 1
         print(f"backend   : {dev.platform} x{ndev}, dtype={args.dtype}, "
-              f"pallas={'on' if sim.pallas_op is not None else 'off'}"
+              f"kernels={'coded' if sim.coded_op is not None else 'pallas' if sim.pallas_op is not None else 'jnp'}"
               f"{', precond=' + args.precond if args.precond else ''}")
         if output_dir:
             print(f"output    : {output_dir}/field_N.vtk, src_N.vtk")

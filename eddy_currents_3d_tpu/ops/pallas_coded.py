@@ -1,0 +1,499 @@
+"""Case-coded fused TPU kernels: compute coefficients, don't stream them.
+
+The field-based Pallas matvec (ops/pallas_stencil.py) is HBM-bound and its
+dominant traffic is the coefficient streams: 7 full-grid A-stencil fields
+plus 31 conductor-box coupling fields (~29 of ~34 MB per TEAM7 matvec).
+But the assembled coefficients carry almost no information:
+
+* the A-row stencil (EC3D.f90:528-663) is a *constant* 7-point stencil
+  everywhere except (a) grid faces, where the closed-form BND multipliers
+  apply — a pure function of the cell's face membership — and (b)
+  conducting interior cells, which add the 2C/dt inertial diagonal and the
+  ±C·Ve/(2Δ) convection pair;
+* every U-coupling coefficient (the 27-way ladder, EC3D.f90:667-922) is a
+  case-dependent constant — a function of the six "is this neighbor
+  conducting" bits — times at most the cell's conductivity C.
+
+So the coded operator streams ONE int32 code plane and ONE C plane over
+the conductor box (plus optional convection fields when any domain moves)
+and computes every coefficient in-register from static constants: VPU
+flops are free next to HBM bytes on TPU.  The A-block kernel streams *no*
+coefficients at all — faces are iota masks, constants fold into the
+kernel.  Measured effect: see bench roofline (the matvec drops to within a
+few % of pure state-streaming speed).
+
+Correctness: the encoder *proves* itself against the assembly — it
+reconstructs all four coefficient field sets from the code in f64 with the
+same arithmetic expression forms as assembly/assemble.py and requires
+bit-exact equality with ``system.np_*`` (including the reference's
+(x-,y+,z+) corner sign quirk, EC3D.f90:803-806); any model it cannot
+represent raises :class:`CodedUnsupported` and the caller falls back to
+the field kernels.  The in-kernel f32 evaluation of the same formulas can
+differ from the host-f64-then-cast fields by ~1 ulp, far inside solver
+tolerance (the assembled matrix itself is only stored to f32 on the solve
+path).
+
+Layout, padding and roll-wrap invariants are identical to
+ops/pallas_stencil.py: all wrapped/clamped neighbor values are killed
+either by computed-zero coefficients (code = 0 in the >=2-cell non-
+conducting halo of the box and in padding) or by explicit face/valid
+masks in the A kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..assembly.stencil import State
+from . import pallas_stencil as ps
+
+__all__ = ["CodedStencilOperator", "from_assembled_coded", "CodedUnsupported"]
+
+_LANE = 128
+_SUB = 8
+
+# code bits (1 = that neighbor is NOT conducting / out of grid)
+_B_XM, _B_XP, _B_YM, _B_YP, _B_ZM, _B_ZP = 0, 1, 2, 3, 4, 5
+_B_COND, _B_INTC = 6, 7
+
+
+class CodedUnsupported(ValueError):
+    """The model's assembled coefficients are not reproducible from the
+    case code (shouldn't happen for any reference-grammar model; raised
+    defensively so callers can fall back to the field kernels)."""
+
+
+# ---------------------------------------------------------------------------
+# host-side encode + proof
+# ---------------------------------------------------------------------------
+
+def _nb(cond, axis, d):
+    """Neighbor-conducting mask, False beyond the grid (assemble._nshift)."""
+    from ..assembly.assemble import _nshift
+    return _nshift(cond, axis, d).astype(bool)
+
+
+def _encode(model) -> np.ndarray:
+    cond = model.cond_mask
+    nz, ny, nx = model.shape_zyx
+    code = np.zeros((nz, ny, nx), np.int32)
+    for a, (bm, bp) in enumerate(((_B_XM, _B_XP), (_B_YM, _B_YP), (_B_ZM, _B_ZP))):
+        code |= (~_nb(cond, a, -1)).astype(np.int32) << bm
+        code |= (~_nb(cond, a, +1)).astype(np.int32) << bp
+    on_face = np.zeros((nz, ny, nx), bool)
+    on_face[:, :, 0] = on_face[:, :, -1] = True
+    on_face[:, 0, :] = on_face[:, -1, :] = True
+    on_face[0, :, :] = on_face[-1, :, :] = True
+    code |= cond.astype(np.int32) << _B_COND
+    code |= (cond & ~on_face).astype(np.int32) << _B_INTC
+    # bits only matter on conducting cells (the decode multiplies by them)
+    return np.where(cond, code, 0).astype(np.int32)
+
+
+def _reconstruct(code: np.ndarray, Cf: np.ndarray, model, s, ds, dt,
+                 inertia_on_faces: bool):
+    """f64 reconstruction of (gu, ku, da) + the A-row diagonal deviation,
+    mirroring assemble_operator's expression forms exactly."""
+    shape = code.shape
+    bit = lambda k: ((code >> k) & 1).astype(bool)
+    mm = [bit(_B_XM), bit(_B_YM), bit(_B_ZM)]
+    mp = [bit(_B_XP), bit(_B_YP), bit(_B_ZP)]
+    cond = bit(_B_COND)
+    intc = bit(_B_INTC)
+
+    gu = np.zeros((3, 5) + shape)
+    for c in range(3):
+        one_m = intc & mp[c]
+        one_p = intc & ~mp[c] & mm[c]
+        central = intc & ~mp[c] & ~mm[c]
+        g = Cf * ds[c]
+        gu[c, 2] = np.where(one_m, -3.0 * g, np.where(one_p, 3.0 * g, 0.0))
+        gu[c, 1] = np.where(one_m, 4.0 * g, np.where(central, g, 0.0))
+        gu[c, 0] = np.where(one_m, -g, 0.0)
+        gu[c, 3] = np.where(one_p, -4.0 * g, np.where(central, -g, 0.0))
+        gu[c, 4] = np.where(one_p, g, 0.0)
+
+    from ..assembly.assemble import _MOFF, _POFF
+    ku = np.zeros((7,) + shape)
+    ku[0] = np.where(cond, 2.0 * s.sum(), 0.0)
+    for a in range(3):
+        ku[_MOFF[a]] = np.where(
+            cond, np.where(mp[a], -2.0 * s[a], np.where(mm[a], 0.0, -s[a])), 0.0)
+        ku[_POFF[a]] = np.where(
+            cond, np.where(mm[a], -2.0 * s[a], np.where(mp[a], 0.0, -s[a])), 0.0)
+
+    da = np.zeros((3, 3) + shape)
+    any_missing = (mm[0] | mp[0] | mm[1] | mp[1] | mm[2] | mp[2])
+    interior13 = cond & ~any_missing
+    quirk = cond & mm[0] & mp[1] & mp[2]     # EC3D.f90:803-806 sign quirk
+    for a in range(3):
+        big = 2.0 / (dt * model.delta[a])
+        half = 0.5 / (dt * model.delta[a])
+        sign = np.where(mp[a], 1.0, np.where(mm[a], -1.0, 0.0))
+        if a == 0:
+            sign = np.where(quirk, 1.0, sign)
+        elif a == 1:
+            sign = np.where(quirk, -1.0, sign)
+        da[a, 1] = np.where(cond & (mm[a] | mp[a]), sign * big, 0.0)
+        da[a, 0] = np.where(interior13, half, 0.0)
+        da[a, 2] = np.where(interior13, -half, 0.0)
+
+    inert_sel = cond if inertia_on_faces else intc
+    diag_dev = np.where(inert_sel, 2.0 * Cf / dt, 0.0)
+    return gu, ku, da, diag_dev
+
+
+def _closed_ka(model, s) -> np.ndarray:
+    """The constant+face closed form of the A stencil (no conducting
+    extras) — assemble_operator lines 173-179 verbatim."""
+    nz, ny, nx = model.shape_zyx
+    shape = (nz, ny, nx)
+    BND = np.asarray(model.solver.BND, float)
+    at_m = [np.zeros(shape, bool) for _ in range(3)]
+    at_p = [np.zeros(shape, bool) for _ in range(3)]
+    at_m[0][:, :, 0] = True;  at_p[0][:, :, -1] = True
+    at_m[1][:, 0, :] = True;  at_p[1][:, -1, :] = True
+    at_m[2][0, :, :] = True;  at_p[2][-1, :, :] = True
+    from ..assembly.assemble import _MOFF, _POFF
+    ka = np.zeros((7,) + shape)
+    diag = np.zeros(shape)
+    for a in range(3):
+        ka[_MOFF[a]] = np.where(at_m[a], 0.0, np.where(at_p[a], BND[a, 0] * s[a], -s[a]))
+        ka[_POFF[a]] = np.where(at_p[a], 0.0, np.where(at_m[a], BND[a, 1] * s[a], -s[a]))
+        diag += np.where(at_m[a] | at_p[a], s[a], 2.0 * s[a])
+    ka[0] = diag
+    return ka
+
+
+def from_assembled_coded(system, model, inertia_on_faces: bool = False
+                         ) -> "CodedStencilOperator":
+    """Encode + prove + pack.  Raises :class:`CodedUnsupported` when the
+    assembled fields are not exactly reproducible from the code."""
+    op = system.op
+    nz, ny, nx = op.shape_zyx
+    dtype = op.ka.dtype
+    if jnp.dtype(dtype).itemsize != 4:
+        raise CodedUnsupported("coded kernels support 4-byte dtypes only")
+    dx, dy, dz = [float(d) for d in model.delta]
+    s = np.array([1.0 / dx**2, 1.0 / dy**2, 1.0 / dz**2])
+    ds = np.array([0.5 / dx, 0.5 / dy, 0.5 / dz])
+    dt = float(model.tran.step)
+    Cf = model.domain_field("C")
+
+    code = _encode(model)
+    gu, ku, da, diag_dev = _reconstruct(code, Cf, model, s, ds, dt,
+                                        inertia_on_faces)
+
+    # ---- proof: reconstruction must be bit-exact vs the assembly ----
+    if not (np.array_equal(gu, system.np_gu) and
+            np.array_equal(ku, system.np_ku) and
+            np.array_equal(da, system.np_da)):
+        raise CodedUnsupported("U-coupling fields not reproducible from code")
+    # full A-stencil reconstruction with assembly's exact expression forms
+    # (assemble.py:173-189): constant+face base, then convection on intc,
+    # then the inertial diagonal
+    from ..assembly.assemble import _MOFF, _POFF
+    bitm = lambda k: ((code >> k) & 1).astype(bool)
+    intc = bitm(_B_INTC)
+    cond = bitm(_B_COND)
+    inert_sel = cond if inertia_on_faces else intc
+    recon = _closed_ka(model, s)
+    Ve = [model.domain_field("VEX"), model.domain_field("VEY"),
+          model.domain_field("VEZ")]
+    conv = np.zeros((3,) + code.shape)
+    for a in range(3):
+        conv_a = Ve[a] / (2.0 * model.delta[a])
+        recon[_MOFF[a]] = np.where(intc, recon[_MOFF[a]] - conv_a,
+                                   recon[_MOFF[a]])
+        recon[_POFF[a]] = np.where(intc, recon[_POFF[a]] + conv_a,
+                                   recon[_POFF[a]])
+        conv[a] = np.where(intc, conv_a, 0.0)
+    inert = np.where(model.cond_mask, 2.0 * Cf / dt, 0.0)
+    recon[0] = np.where(inert_sel, recon[0] + inert, recon[0])
+    if not np.array_equal(recon, np.asarray(system.np_ka, np.float64)):
+        raise CodedUnsupported("A-stencil fields not reproducible from code")
+    has_conv = bool(np.any(conv))
+
+    if op.box is None:
+        raise CodedUnsupported("no conducting cells; use the field kernels")
+    z0, z1, y0, y1, x0, x1 = op.box
+    by, bx = y1 - y0, x1 - x0
+    sub = _SUB
+    NYp, NXp = ps._pad_to(ny, sub), ps._pad_to(nx, _LANE)
+    BYp, BXp = ps._pad_to(by, sub), ps._pad_to(bx, _LANE)
+    y0n = min(y0, NYp - BYp)
+    x0n = min(x0, NXp - BXp)
+    ly, lx = y0 - y0n, x0 - x0n
+
+    def box_pad(full, fdtype):
+        win = full[..., z0:z1, y0:y1, x0:x1]
+        pad = [(0, 0)] * (full.ndim - 3) + [
+            (0, 0), (ly, BYp - by - ly), (lx, BXp - bx - lx)]
+        return jnp.asarray(np.pad(win, pad), fdtype)
+
+    # 1-y-tile requirement (block working set in VMEM); large grids that
+    # would need y tiling fall back to the field kernels
+    blocks_u = 24 + (3 if has_conv else 0)
+    if ps._tile_y(BYp, BXp, blocks_u) < BYp or ps._tile_y(NYp, NXp, 14) < NYp:
+        raise CodedUnsupported("grid needs y tiling; use the field kernels")
+
+    return CodedStencilOperator(
+        code_p=box_pad(code, jnp.int32),
+        cf_p=box_pad(Cf, dtype),
+        conv_p=(box_pad(conv, dtype) if has_conv
+                else jnp.zeros((3, 0, 0, 0), dtype)),
+        shape_zyx=(nz, ny, nx),
+        padded_yx=(NYp, NXp),
+        box=(z0, z1, y0n, y0n + BYp, x0n, x0n + BXp),
+        consts=(tuple(float(v) for v in s), tuple(float(v) for v in ds),
+                dt, tuple(float(d) for d in model.delta),
+                tuple(tuple(float(v) for v in row)
+                      for row in np.asarray(model.solver.BND))),
+        inertia_on_faces=bool(inertia_on_faces),
+        has_conv=has_conv,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _a_const_kernel(nx, ny, nz, s, BND, am_ref, ap_ref, a0_ref, out_ref):
+    """Constant 7-point stencil + closed-form face rows; zero coefficient
+    traffic.  Faces/padding are iota masks; z faces are per-plane scalars."""
+    a0 = a0_ref[:, 0]                      # (3, NYp, NXp)
+    dt_ = a0.dtype
+    c = lambda v: jnp.asarray(v, dt_)
+    sx, sy, sz = s
+    plane = a0.shape[1:]
+    row = jax.lax.broadcasted_iota(jnp.int32, plane, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, plane, 1)
+    fxm, fxp = col == 0, col == nx - 1
+    fym, fyp = row == 0, row == ny - 1
+    z = pl.program_id(0)
+
+    cxm = jnp.where(fxm, c(0.0), jnp.where(fxp, c(BND[0][0] * sx), c(-sx)))
+    cxp = jnp.where(fxp, c(0.0), jnp.where(fxm, c(BND[0][1] * sx), c(-sx)))
+    cym = jnp.where(fym, c(0.0), jnp.where(fyp, c(BND[1][0] * sy), c(-sy)))
+    cyp = jnp.where(fyp, c(0.0), jnp.where(fym, c(BND[1][1] * sy), c(-sy)))
+    zm, zp = z == 0, z == nz - 1
+    czm = jnp.where(zm, c(0.0), jnp.where(zp, c(BND[2][0] * sz), c(-sz)))
+    czp = jnp.where(zp, c(0.0), jnp.where(zm, c(BND[2][1] * sz), c(-sz)))
+    diag = (jnp.where(fxm | fxp, c(sx), c(2.0 * sx))
+            + jnp.where(fym | fyp, c(sy), c(2.0 * sy))
+            + jnp.where(zm | zp, c(sz), c(2.0 * sz)))
+
+    y = (diag[None] * a0
+         + cxm[None] * ps._roll(a0, 1, 2) + cxp[None] * ps._roll(a0, -1, 2)
+         + cym[None] * ps._roll(a0, 1, 1) + cyp[None] * ps._roll(a0, -1, 1)
+         + czm * am_ref[:, 0] + czp * ap_ref[:, 0])
+    valid = (col < nx) & (row < ny)
+    out_ref[:, 0] = jnp.where(valid[None], y, c(0.0))
+
+
+def _apply_a_const(shape_zyx, padded_yx, consts, A_p):
+    nz, ny, nx = shape_zyx
+    NYp, NXp = padded_yx
+    s, ds, dt, delta, BND = consts
+    a_at = lambda fz: pl.BlockSpec(
+        (3, 1, NYp, NXp),
+        ps._i32map(lambda z: (0, fz(z), 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        partial(_a_const_kernel, nx, ny, nz, s, BND),
+        grid=(nz,),
+        in_specs=[
+            a_at(lambda z: jnp.maximum(z - 1, 0)),
+            a_at(lambda z: jnp.minimum(z + 1, nz - 1)),
+            a_at(lambda z: z),
+        ],
+        out_specs=a_at(lambda z: z),
+        out_shape=jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
+        interpret=ps.INTERPRET,
+    )(A_p, A_p, A_p)
+
+
+def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
+    """Decode the case bits and evaluate the 27-way U-row/grad-U ladder
+    in-register (see module docstring for the closed forms)."""
+    if has_conv:
+        (code_ref, cf_ref, conv_ref,
+         um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
+         abm_ref, ab0_ref, abp_ref, gout_ref, uout_ref) = refs
+    else:
+        (code_ref, cf_ref,
+         um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
+         abm_ref, ab0_ref, abp_ref, gout_ref, uout_ref) = refs
+        conv_ref = None
+    s, ds, dt, delta, _ = consts
+    u0 = u0_ref[0]
+    dt_f = u0.dtype
+    c = lambda v: jnp.asarray(v, dt_f)
+    code = code_ref[0]
+    cf = cf_ref[0]
+    bit = lambda k: ((code >> k) & 1) == 1
+    mm = (bit(_B_XM), bit(_B_YM), bit(_B_ZM))
+    mp = (bit(_B_XP), bit(_B_YP), bit(_B_ZP))
+    cond = bit(_B_COND)
+    intc = bit(_B_INTC)
+    zero = jnp.zeros_like(u0)
+
+    # neighbor U values: x/y in-VMEM rolls (1-tile), z via clamped blocks
+    un = {
+        (0, -1): ps._roll(u0, 1, 1), (0, +1): ps._roll(u0, -1, 1),
+        (0, -2): ps._roll(u0, 2, 1), (0, +2): ps._roll(u0, -2, 1),
+        (1, -1): ps._roll(u0, 1, 0), (1, +1): ps._roll(u0, -1, 0),
+        (1, -2): ps._roll(u0, 2, 0), (1, +2): ps._roll(u0, -2, 0),
+        (2, -1): um1_ref[0], (2, +1): up1_ref[0],
+        (2, -2): um2_ref[0], (2, +2): up2_ref[0],
+    }
+
+    # ---- grad-U into the A rows (EC3D.f90:667-710) + A-row deviations ----
+    ab0 = ab0_ref[:, 0]                    # (3, TY, BX)
+    inert_sel = cond if inertia_on_faces else intc
+    inert = jnp.where(inert_sel, c(2.0 / dt) * cf, zero)
+    for comp in range(3):
+        one_m = intc & mp[comp]
+        one_p = intc & ~mp[comp] & mm[comp]
+        central = intc & ~mp[comp] & ~mm[comp]
+        g = cf * c(ds[comp])
+        gc = (jnp.where(one_m, c(-3.0) * g, jnp.where(one_p, c(3.0) * g, zero)) * u0
+              + jnp.where(one_m, c(4.0) * g, jnp.where(central, g, zero)) * un[(comp, -1)]
+              + jnp.where(one_m, -g, zero) * un[(comp, -2)]
+              + jnp.where(one_p, c(-4.0) * g, jnp.where(central, -g, zero)) * un[(comp, +1)]
+              + jnp.where(one_p, g, zero) * un[(comp, +2)])
+        gc = gc + inert * ab0[comp]
+        if has_conv:
+            cv = conv_ref[comp, 0]
+            if comp == 0:
+                am_, ap_ = ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1)
+            elif comp == 1:
+                am_, ap_ = ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0)
+            else:
+                am_, ap_ = abm_ref[2, 0], abp_ref[2, 0]
+            gc = gc + cv * (ap_ - am_)
+        gout_ref[comp, 0] = gc
+
+    # ---- U row: case-coded Laplacian + div(dA/dt) (EC3D.f90:766-922) ----
+    yu = jnp.where(cond, c(2.0 * (s[0] + s[1] + s[2])), zero) * u0
+    for a in range(3):
+        km = jnp.where(mp[a], c(-2.0 * s[a]), jnp.where(mm[a], zero, c(-s[a])))
+        kp = jnp.where(mm[a], c(-2.0 * s[a]), jnp.where(mp[a], zero, c(-s[a])))
+        yu = yu + jnp.where(cond, km, zero) * un[(a, -1)]
+        yu = yu + jnp.where(cond, kp, zero) * un[(a, +1)]
+
+    any_missing = (mm[0] | mp[0] | mm[1] | mp[1] | mm[2] | mp[2])
+    interior13 = cond & ~any_missing
+    quirk = cond & mm[0] & mp[1] & mp[2]   # EC3D.f90:803-806 sign quirk
+    for a in range(3):
+        big = c(2.0 / (dt * delta[a]))
+        half = c(0.5 / (dt * delta[a]))
+        sign = jnp.where(mp[a], big, jnp.where(mm[a], -big, zero))
+        if a == 0:
+            sign = jnp.where(quirk, big, sign)
+        elif a == 1:
+            sign = jnp.where(quirk, -big, sign)
+        yu = yu + jnp.where(cond & (mm[a] | mp[a]), sign, zero) * ab0[a]
+        if a == 0:
+            am_, ap_ = ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1)
+        elif a == 1:
+            am_, ap_ = ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0)
+        else:
+            am_, ap_ = abm_ref[2, 0], abp_ref[2, 0]
+        yu = yu + jnp.where(interior13, half, zero) * am_
+        yu = yu + jnp.where(interior13, -half, zero) * ap_
+    uout_ref[0] = yu
+
+
+def _apply_u_coded(coded, Ub_p, Ab_p):
+    bz, BYp, BXp = Ub_p.shape
+    u_at = lambda fz: pl.BlockSpec(
+        (1, BYp, BXp), ps._i32map(lambda z: (fz(z), 0, 0)),
+        memory_space=pltpu.VMEM)
+    a_at = lambda fz: pl.BlockSpec(
+        (3, 1, BYp, BXp), ps._i32map(lambda z: (0, fz(z), 0, 0)),
+        memory_space=pltpu.VMEM)
+    lo = lambda d: (lambda z: jnp.maximum(z - d, 0))
+    hi = lambda d: (lambda z: jnp.minimum(z + d, bz - 1))
+    ident = lambda z: z
+    specs = [u_at(ident), u_at(ident)]
+    args = [coded.code_p, coded.cf_p]
+    if coded.has_conv:
+        specs.append(a_at(ident))
+        args.append(coded.conv_p)
+    specs += [
+        u_at(lo(2)), u_at(lo(1)), u_at(ident), u_at(hi(1)), u_at(hi(2)),
+        a_at(lo(1)), a_at(ident), a_at(hi(1)),
+    ]
+    args += [Ub_p] * 5 + [Ab_p] * 3
+    return pl.pallas_call(
+        partial(_u_coded_kernel, coded.consts, coded.inertia_on_faces,
+                coded.has_conv),
+        grid=(bz,),
+        in_specs=specs,
+        out_specs=(a_at(ident), u_at(ident)),
+        out_shape=(
+            jax.ShapeDtypeStruct(Ab_p.shape, Ab_p.dtype),
+            jax.ShapeDtypeStruct(Ub_p.shape, Ub_p.dtype),
+        ),
+        interpret=ps.INTERPRET,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CodedStencilOperator:
+    """Padded-layout operator whose coefficients are computed in-kernel.
+
+    Drop-in for :class:`PallasStencilOperator` on the solve path (same
+    pad_state/unpad_state/apply surface, same padded space)."""
+
+    code_p: jax.Array               # (bz, BYp, BXp) int32 case code
+    cf_p: jax.Array                 # (bz, BYp, BXp) conductivity C
+    conv_p: jax.Array               # (3, bz, BYp, BXp) or (3,0,0,0)
+    shape_zyx: tuple = dc_field(metadata=dict(static=True))
+    padded_yx: tuple = dc_field(metadata=dict(static=True))
+    box: Optional[tuple] = dc_field(metadata=dict(static=True), default=None)
+    consts: tuple = dc_field(metadata=dict(static=True), default=())
+    inertia_on_faces: bool = dc_field(metadata=dict(static=True), default=False)
+    has_conv: bool = dc_field(metadata=dict(static=True), default=False)
+
+    @property
+    def padded_zyx(self):
+        return (self.shape_zyx[0],) + self.padded_yx
+
+    def pad_state(self, x: State) -> State:
+        nz, ny, nx = self.shape_zyx
+        NYp, NXp = self.padded_yx
+        pad = [(0, 0), (0, NYp - ny), (0, NXp - nx)]
+        return State(jnp.pad(x.A, [(0, 0)] + pad), jnp.pad(x.U, pad))
+
+    def unpad_state(self, x: State) -> State:
+        nz, ny, nx = self.shape_zyx
+        return State(x.A[:, :, :ny, :nx], x.U[:, :ny, :nx])
+
+    def apply(self, x: State) -> State:
+        yA = _apply_a_const(self.shape_zyx, self.padded_yx, self.consts, x.A)
+        z0, z1, y0, _, x0, _ = self.box
+        bz, BYp, BXp = self.code_p.shape
+        Ub = jax.lax.dynamic_slice(x.U, (z0, y0, x0), (bz, BYp, BXp))
+        Ab = jax.lax.dynamic_slice(x.A, (0, z0, y0, x0), (3, bz, BYp, BXp))
+        gout, uout = _apply_u_coded(self, Ub, Ab)
+        yA = jax.lax.dynamic_update_slice(
+            yA, jax.lax.dynamic_slice(yA, (0, z0, y0, x0), gout.shape) + gout,
+            (0, z0, y0, x0),
+        )
+        yU = jax.lax.dynamic_update_slice(jnp.zeros_like(x.U), uout, (z0, y0, x0))
+        return State(yA, yU)

@@ -91,6 +91,7 @@ class Simulation:
         use_shard_map: Optional[bool] = None,
         coeff_dtype=None,
         warm_start: str = "extrapolate",
+        use_coded: Optional[bool] = None,
     ):
         self.model = model
         self.dtype = dtype
@@ -116,8 +117,27 @@ class Simulation:
                 pallas_stencil.pallas_available()
                 and jnp.dtype(dtype).itemsize <= 4
             )
+
+        # case-coded kernels (ops/pallas_coded.py): coefficients computed
+        # in-register from a 1-int32/cell case code instead of streamed —
+        # the production single-chip operator.  Not combined with mg (whose
+        # V-cycle reads the field operator's padded coefficients) or with
+        # coeff_dtype (which exists to shrink the very streams coded
+        # kernels eliminate).  use_coded=None auto-selects with a silent
+        # fallback to the field kernels on CodedUnsupported.
+        self.coded_op = None
+        if use_coded and use_pallas and mesh is None \
+                and coeff_dtype is None and precond != "mg" and dtype == jnp.float32:
+            from ..ops.pallas_coded import CodedUnsupported, from_assembled_coded
+            try:
+                self.coded_op = from_assembled_coded(self.system, model)
+            except CodedUnsupported:
+                if use_coded:
+                    raise
+
         self.pallas_op = (
-            pallas_stencil.from_assembled(self.system) if use_pallas and mesh is None
+            pallas_stencil.from_assembled(self.system)
+            if use_pallas and mesh is None and self.coded_op is None
             else None
         )
 
@@ -161,7 +181,8 @@ class Simulation:
             from ..solvers.ilu0 import ilu0_stencil_factorize
             self._ilu = ilu0_stencil_factorize(
                 self.system, model, dtype=dtype,
-                pallas=self.pallas_op is not None)
+                pallas=(self.pallas_op is not None
+                        or self.coded_op is not None))
             self.ilu_sweeps = 2
         if precond == "mg":
             # geometric V-cycle on the shared A-block stencil (built in the
@@ -199,12 +220,13 @@ class Simulation:
         if precond in ("jacobi", "cheb_jacobi"):
             # right-Jacobi: solve (A D^-1) y = b, x = D^-1 y — the residual
             # history/convergence test stays that of the original system
+            pad_tier = self.coded_op if self.coded_op is not None else self.pallas_op
             if self.shard_op is not None:
                 d = self.shard_op.diagonal_padded()
             else:
                 d = self.system.op.diagonal()
-                if self.pallas_op is not None:
-                    d = self.pallas_op.pad_state(d)
+                if pad_tier is not None:
+                    d = pad_tier.pad_state(d)
                     d = State(jnp.where(d.A == 0, 1.0, d.A).astype(dtype),
                               jnp.where(d.U == 0, 1.0, d.U).astype(dtype))
             self._jac_d = d
@@ -331,7 +353,12 @@ class Simulation:
         else:
             x0 = State(state.A, state.U)
         tol = jnp.asarray(model.solver.tolerance, self.dtype)
-        pad_op = self.shard_op if self.shard_op is not None else self.pallas_op
+        if self.shard_op is not None:
+            pad_op = self.shard_op
+        elif self.coded_op is not None:
+            pad_op = self.coded_op
+        else:
+            pad_op = self.pallas_op
         if pad_op is not None:
             apply_fn, bb, xx0 = (
                 pad_op.apply,

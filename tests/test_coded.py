@@ -1,0 +1,124 @@
+"""Case-coded operator (ops/pallas_coded.py): the encoder must prove
+itself against the assembled fields (bit-exact f64 reconstruction), and
+the coded kernels (interpret mode on CPU) must reproduce the field
+operator's matvec to f32-ulp accuracy on every case family — including
+convection (LIM), moving coils, non-default BND multipliers, and the
+inertia_on_faces extension."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eddy_currents_3d_tpu.assembly.assemble import assemble_operator
+from eddy_currents_3d_tpu.assembly.stencil import State
+from eddy_currents_3d_tpu.ops import pallas_stencil as ps
+from eddy_currents_3d_tpu.ops.pallas_coded import (
+    CodedUnsupported, from_assembled_coded,
+)
+from eddy_currents_3d_tpu.testing.cases import (
+    case_lim, case_moving, case_static, load_case,
+)
+
+
+def _rand_state(model, sysm, rng, dtype=jnp.float32):
+    nz, ny, nx = model.shape_zyx
+    A = rng.standard_normal((3, nz, ny, nx))
+    U = rng.standard_normal((nz, ny, nx)) * np.asarray(sysm.cond_mask)
+    return State(jnp.asarray(A, dtype), jnp.asarray(U, dtype))
+
+
+def _check_case(model, rng, inertia_on_faces=False, atol_scale=3e-6):
+    sysm = assemble_operator(model, jnp.float32,
+                             inertia_on_faces=inertia_on_faces)
+    # f64 ground truth for the comparison scale
+    sys64 = assemble_operator(model, jnp.float64,
+                              inertia_on_faces=inertia_on_faces)
+    coded = from_assembled_coded(sysm, model,
+                                 inertia_on_faces=inertia_on_faces)
+    st = _rand_state(model, sysm, rng)
+    y_ref = jax.jit(sys64.op.apply)(
+        State(st.A.astype(jnp.float64), st.U.astype(jnp.float64)))
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        y_cod = coded.unpad_state(jax.jit(coded.apply)(coded.pad_state(st)))
+    finally:
+        ps.INTERPRET = prev
+    scale = np.abs(np.asarray(y_ref.A)).max()
+    np.testing.assert_allclose(np.asarray(y_cod.A, np.float64),
+                               np.asarray(y_ref.A), atol=atol_scale * scale)
+    uscale = max(np.abs(np.asarray(y_ref.U)).max(), scale)
+    np.testing.assert_allclose(np.asarray(y_cod.U, np.float64),
+                               np.asarray(y_ref.U), atol=atol_scale * uscale)
+    return coded
+
+
+def test_static_case(rng):
+    model = load_case(case_static(shape_xyz=(18, 16, 14), steps=2))
+    coded = _check_case(model, rng)
+    assert not coded.has_conv
+
+
+def test_lim_case_with_convection(rng):
+    model = load_case(case_lim(shape_xyz=(24, 11, 10), steps=2))
+    _check_case(model, rng)
+
+
+def test_moving_case(rng):
+    model = load_case(case_moving(shape_xyz=(16, 16, 10), steps=2))
+    _check_case(model, rng)
+
+
+def test_custom_bnd_multipliers(rng):
+    model = load_case(case_static(shape_xyz=(16, 14, 12), steps=2))
+    model.solver.BND = np.array([[-1.0, -0.5], [0.25, -0.95],
+                                 [0.0, -0.7]])
+    _check_case(model, rng)
+
+
+def test_inertia_on_faces(rng):
+    model = load_case(case_static(shape_xyz=(16, 14, 12), steps=2))
+    _check_case(model, rng, inertia_on_faces=True)
+
+
+def test_f64_unsupported():
+    model = load_case(case_static(shape_xyz=(14, 12, 10), steps=2))
+    sysm = assemble_operator(model, jnp.float64)
+    with pytest.raises(CodedUnsupported):
+        from_assembled_coded(sysm, model)
+
+
+def test_proof_rejects_tampered_fields():
+    """The encoder must refuse a system whose coefficients it cannot
+    reproduce (defensive fallback path)."""
+    model = load_case(case_static(shape_xyz=(14, 12, 10), steps=2))
+    sysm = assemble_operator(model, jnp.float32)
+    sysm.np_ku[0][sysm.np_ku[0] != 0] *= 1.5
+    with pytest.raises(CodedUnsupported):
+        from_assembled_coded(sysm, model)
+
+
+def test_simulation_with_coded_operator_matches():
+    """Full transient through Simulation(use_coded=True) vs the field-
+    operator run: tolerance-scale field agreement, convergence everywhere.
+    (Interpret mode on CPU — on TPU the same selection is automatic.)"""
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+
+    model = load_case(case_static(shape_xyz=(16, 14, 12), steps=3))
+    ref, rdiag = Simulation(model, dtype=jnp.float32, use_pallas=False).run()
+    assert not rdiag["unconverged_steps"]
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        sim = Simulation(model, dtype=jnp.float32, use_pallas=True,
+                         use_coded=True)
+        assert sim.coded_op is not None and sim.pallas_op is None
+        st, diag = sim.run()
+    finally:
+        ps.INTERPRET = prev
+    assert not diag["unconverged_steps"]
+    tol = model.solver.tolerance
+    scale = np.abs(np.asarray(ref.A)).max()
+    np.testing.assert_allclose(np.asarray(st.A), np.asarray(ref.A),
+                               atol=4 * tol * scale)
