@@ -484,6 +484,22 @@ class CodedStencilOperator:
         nz, ny, nx = self.shape_zyx
         return State(x.A[:, :, :ny, :nx], x.U[:, :ny, :nx])
 
+    def apply_div(self, A: jax.Array) -> jax.Array:
+        """U-row div(dA/dt) contraction on the *unpadded* grid A (the
+        per-step RHS term, EC3D.f90:385-392): the U-coupling kernel with
+        U = 0 computes exactly the da contraction."""
+        nz, ny, nx = self.shape_zyx
+        NYp, NXp = self.padded_yx
+        A_p = jnp.pad(A, [(0, 0), (0, 0), (0, NYp - ny), (0, NXp - nx)])
+        z0, z1, y0, _, x0, _ = self.box
+        bz, BYp, BXp = self.code_p.shape
+        Ab = jax.lax.dynamic_slice(A_p, (0, z0, y0, x0), (3, bz, BYp, BXp))
+        Ub = jnp.zeros((bz, BYp, BXp), A.dtype)
+        _, uout = _apply_u_coded(self, Ub, Ab)
+        full = jnp.zeros((nz, NYp, NXp), A.dtype)
+        full = jax.lax.dynamic_update_slice(full, uout, (z0, y0, x0))
+        return full[:, :ny, :nx]
+
     def apply(self, x: State) -> State:
         yA = _apply_a_const(self.shape_zyx, self.padded_yx, self.consts, x.A)
         z0, z1, y0, _, x0, _ = self.box

@@ -339,7 +339,12 @@ class Simulation:
 
         nzyx = self.model.shape_zyx
         rhs_A = base.reshape((3,) + nzyx) + inert[None] * state.A
-        div_op = self.shard_op if self.shard_op is not None else op
+        if self.shard_op is not None:
+            div_op = self.shard_op
+        elif self.coded_op is not None:
+            div_op = self.coded_op
+        else:
+            div_op = op
         rhs_U = div_op.apply_div(state.A)
         rhs_A = jnp.where(sysm.bnd_a, 0.0, rhs_A)
         rhs_U = jnp.where(sysm.bnd_u_any, 0.0, rhs_U)

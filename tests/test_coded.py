@@ -82,6 +82,24 @@ def test_inertia_on_faces(rng):
     _check_case(model, rng, inertia_on_faces=True)
 
 
+def test_apply_div_matches(rng):
+    model = load_case(case_static(shape_xyz=(18, 16, 14), steps=2))
+    sysm = assemble_operator(model, jnp.float32)
+    sys64 = assemble_operator(model, jnp.float64)
+    coded = from_assembled_coded(sysm, model)
+    st = _rand_state(model, sysm, rng)
+    d_ref = jax.jit(sys64.op.apply_div)(st.A.astype(jnp.float64))
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        d_cod = jax.jit(coded.apply_div)(st.A)
+    finally:
+        ps.INTERPRET = prev
+    scale = max(np.abs(np.asarray(d_ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(d_cod, np.float64),
+                               np.asarray(d_ref), atol=3e-6 * scale)
+
+
 def test_f64_unsupported():
     model = load_case(case_static(shape_xyz=(14, 12, 10), steps=2))
     sysm = assemble_operator(model, jnp.float64)
