@@ -134,7 +134,15 @@ def run_roofline(args) -> int:
     st = State(jnp.asarray(rng.standard_normal((3, nz, ny, nx)), jnp.float32),
                jnp.asarray(rng.standard_normal((nz, ny, nx))
                            * np.asarray(sysm.cond_mask), jnp.float32))
-    if use_pallas:
+    if args.op == "coded":
+        from eddy_currents_3d_tpu.ops.pallas_coded import from_assembled_coded
+        op = from_assembled_coded(sysm, model)
+        st = op.pad_state(st)
+        apply_fn = op.apply
+        coeff = (int(op.code_p.size) + int(op.cf_p.size)
+                 + int(op.conv_p.size))
+        n_state = int(st.A.size + st.U.size)
+    elif use_pallas:
         op = pallas_stencil.from_assembled(sysm)
         st = op.pad_state(st)
         apply_fn = op.apply
@@ -161,20 +169,28 @@ def run_roofline(args) -> int:
         return chain
 
     def timed(fn, *args):
-        """Median of 3 host-synced wall times."""
+        """Median of 5 host-synced wall times."""
         _force(fn(*args))
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             _force(fn(*args))
             ts.append(time.perf_counter() - t0)
-        return sorted(ts)[1]
+        return sorted(ts)[len(ts) // 2]
 
-    # two-point measurement: t(2R) - t(R) cancels dispatch/readback latency;
+    def diffed(c2, c1, R, *args):
+        """t(2R) - t(R) cancels dispatch/readback latency.  The chip
+        behind the tunnel shows run-to-run speed variance, so interleave
+        and retry until the difference is stably positive."""
+        for _ in range(4):
+            d = timed(c2, *args) - timed(c1, *args)
+            if d > 0:
+                return d / R
+        return max(d, 1e-9) / R
+
     # R sized so the differenced work is ~20 ms at any grid size
     R = int(min(1024, max(48, 1.5e10 // bytes_mv)))
-    c1, c2 = chain_of(R), chain_of(2 * R)
-    t_mv = max(timed(c2, st) - timed(c1, st), 1e-9) / R
+    t_mv = diffed(chain_of(2 * R), chain_of(R), R, st)
 
     # measured speed of light: same two-point chained triad on big buffers
     # (runtime random inputs so nothing constant-folds)
@@ -186,8 +202,7 @@ def run_roofline(args) -> int:
         return jax.jit(lambda a, b: jnp.sum(
             jax.lax.fori_loop(0, reps, lambda _, a: a * 0.999 + 2.0 * b, a)))
 
-    t_triad = max(timed(triad_of(2 * R), x, y) - timed(triad_of(R), x, y),
-                  1e-9) / R
+    t_triad = diffed(triad_of(2 * R), triad_of(R), R, x, y)
     stream_bw = 3 * big * 4 / t_triad            # bytes/s, measured roofline
 
     # bytes_mv is the *minimum possible* traffic (each operand exactly once),
@@ -196,6 +211,8 @@ def run_roofline(args) -> int:
     achieved_bw = bytes_mv / t_mv
     pct = 100.0 * achieved_bw / stream_bw
     tag = "_bf16" if args.coeff_dtype == "bf16" else ""
+    if args.op == "coded":
+        tag += "_coded"
     return _emit(
         f"{args.case}_spmv_roofline{tag}", pct, "% of measured HBM stream", pct / 70.0,
         nnz_per_s=round(nnz / t_mv / 1e6, 1),
@@ -447,11 +464,15 @@ def run_scale256(args) -> int:
            + np.count_nonzero(sim.system.np_ku)
            + np.count_nonzero(sim.system.np_da))
     state = sim.init_state()
-    state, _ = sim._step_jit(state, 0.0)
+    # 4 warm-up steps: the early transient needs far more iterations than
+    # steady state (and the extrapolated warm start only engages from the
+    # third step), so the timed pair reflects production steps
+    for i in range(4):
+        state, _ = sim._step_jit(state, i * 1e-3)
     _force(state.A)
     iters = 0
     t0 = time.perf_counter()
-    for t in (1e-3, 2e-3):
+    for t in (4e-3, 5e-3):
         state, info = sim._step_jit(state, t)
         iters += int(info.iterations)
     _force(state.A)
@@ -477,6 +498,9 @@ def main() -> int:
                     help="grid for --mode scale256 (nx,ny,nz)")
     ap.add_argument("--save", default=None,
                     help="--mode all: also write the JSON lines to this file")
+    ap.add_argument("--op", default="auto", choices=["auto", "coded"],
+                    help="--mode roofline: measure the case-coded operator "
+                    "instead of the field kernels")
     ap.add_argument("--coeff-dtype", default=None, choices=[None, "bf16"],
                     help="store operator coefficients in bf16 (state stays "
                     "f32) for e2e/roofline modes")

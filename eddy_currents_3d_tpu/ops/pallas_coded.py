@@ -266,6 +266,78 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
 # kernels
 # ---------------------------------------------------------------------------
 
+def _a_const_kernel_chunk(nx, ny, nz, CZ, s, BND,
+                          am_ref, ap_ref, a0_ref, out_ref):
+    """z-chunked constant-stencil kernel: each grid step computes CZ
+    whole planes from one (3, CZ, NYp, NXp) block plus two single
+    neighbor planes, so A streams ~(CZ+2)/CZ times per matvec instead of
+    3x.  z-face/partial-chunk handling is per-plane masking on the global
+    plane index (trailing-chunk garbage planes are never written back)."""
+    a0 = a0_ref[:]                        # (3, CZ, NYp, NXp)
+    dt_ = a0.dtype
+    c = lambda v: jnp.asarray(v, dt_)
+    sx, sy, sz = s
+    row = jax.lax.broadcasted_iota(jnp.int32, a0.shape[2:], 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, a0.shape[2:], 1)
+    fxm, fxp = col == 0, col == nx - 1
+    fym, fyp = row == 0, row == ny - 1
+
+    cxm = jnp.where(fxm, c(0.0), jnp.where(fxp, c(BND[0][0] * sx), c(-sx)))
+    cxp = jnp.where(fxp, c(0.0), jnp.where(fxm, c(BND[0][1] * sx), c(-sx)))
+    cym = jnp.where(fym, c(0.0), jnp.where(fyp, c(BND[1][0] * sy), c(-sy)))
+    cyp = jnp.where(fyp, c(0.0), jnp.where(fym, c(BND[1][1] * sy), c(-sy)))
+    # global plane index of each chunk plane -> per-plane z coefficients
+    k = pl.program_id(0)
+    gz = k * CZ + jax.lax.broadcasted_iota(jnp.int32, (CZ, 1, 1), 0)
+    zm, zp = gz == 0, gz == nz - 1
+    czm = jnp.where(zm, c(0.0), jnp.where(zp, c(BND[2][0] * sz), c(-sz)))
+    czp = jnp.where(zp, c(0.0), jnp.where(zm, c(BND[2][1] * sz), c(-sz)))
+    diag = (jnp.where(fxm | fxp, c(sx), c(2.0 * sx))
+            + jnp.where(fym | fyp, c(sy), c(2.0 * sy)))[None]
+    diag = diag + jnp.where(zm | zp, c(sz), c(2.0 * sz))
+
+    azm = jnp.concatenate([am_ref[:], a0[:, :-1]], axis=1)
+    azp = jnp.concatenate([a0[:, 1:], ap_ref[:]], axis=1)
+    # where (not coefficient-zeroing): a trailing partial chunk's padding
+    # planes hold unspecified values (NaN in interpret mode) and
+    # 0 * NaN = NaN would leak into the last real plane's +z term
+    zterm = (jnp.where(zm[None], c(0.0), czm[None] * azm)
+             + jnp.where(zp[None], c(0.0), czp[None] * azp))
+    y = (diag[None] * a0
+         + cxm * ps._roll(a0, 1, 3) + cxp * ps._roll(a0, -1, 3)
+         + cym * ps._roll(a0, 1, 2) + cyp * ps._roll(a0, -1, 2)
+         + zterm)
+    valid = (col < nx) & (row < ny)
+    out_ref[:] = jnp.where(valid[None, None], y, c(0.0))
+
+
+def _apply_a_const_chunk(shape_zyx, padded_yx, consts, A_p, CZ: int = 8):
+    nz, ny, nx = shape_zyx
+    NYp, NXp = padded_yx
+    s, ds, dt, delta, BND = consts
+    nk = -(-nz // CZ)
+    chunk = pl.BlockSpec(
+        (3, CZ, NYp, NXp), ps._i32map(lambda k: (0, k, 0, 0)),
+        memory_space=pltpu.VMEM)
+    # single neighbor planes in 1-plane block units (clamped at the grid)
+    plane_at = lambda fk: pl.BlockSpec(
+        (3, 1, NYp, NXp),
+        ps._i32map(lambda k: (0, jnp.clip(fk(k), 0, nz - 1), 0, 0)),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_a_const_kernel_chunk, nx, ny, nz, CZ, s, BND),
+        grid=(nk,),
+        in_specs=[
+            plane_at(lambda k: k * CZ - 1),
+            plane_at(lambda k: (k + 1) * CZ),
+            chunk,
+        ],
+        out_specs=chunk,
+        out_shape=jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
+        interpret=ps.INTERPRET,
+    )(A_p, A_p, A_p)
+
+
 def _a_const_kernel(nx, ny, nz, s, BND, am_ref, ap_ref, a0_ref, out_ref):
     """Constant 7-point stencil + closed-form face rows; zero coefficient
     traffic.  Faces/padding are iota masks; z faces are per-plane scalars."""
@@ -322,24 +394,17 @@ def _apply_a_const(shape_zyx, padded_yx, consts, A_p):
     )(A_p, A_p, A_p)
 
 
-def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
+def _u_body(consts, inertia_on_faces, has_conv,
+            code, cf, conv, u0, un, ab0, aan):
     """Decode the case bits and evaluate the 27-way U-row/grad-U ladder
-    in-register (see module docstring for the closed forms)."""
-    if has_conv:
-        (code_ref, cf_ref, conv_ref,
-         um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
-         abm_ref, ab0_ref, abp_ref, gout_ref, uout_ref) = refs
-    else:
-        (code_ref, cf_ref,
-         um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
-         abm_ref, ab0_ref, abp_ref, gout_ref, uout_ref) = refs
-        conv_ref = None
+    in-register (see module docstring for the closed forms).
+
+    Neighbor values are materialized by the caller (per-plane vs whole-box
+    kernels roll along different array axes): ``un[(axis, d)]`` are the U
+    neighbors, ``aan[a]`` the (−1, +1) A_a neighbors along axis a."""
     s, ds, dt, delta, _ = consts
-    u0 = u0_ref[0]
     dt_f = u0.dtype
     c = lambda v: jnp.asarray(v, dt_f)
-    code = code_ref[0]
-    cf = cf_ref[0]
     bit = lambda k: ((code >> k) & 1) == 1
     mm = (bit(_B_XM), bit(_B_YM), bit(_B_ZM))
     mp = (bit(_B_XP), bit(_B_YP), bit(_B_ZP))
@@ -347,20 +412,10 @@ def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
     intc = bit(_B_INTC)
     zero = jnp.zeros_like(u0)
 
-    # neighbor U values: x/y in-VMEM rolls (1-tile), z via clamped blocks
-    un = {
-        (0, -1): ps._roll(u0, 1, 1), (0, +1): ps._roll(u0, -1, 1),
-        (0, -2): ps._roll(u0, 2, 1), (0, +2): ps._roll(u0, -2, 1),
-        (1, -1): ps._roll(u0, 1, 0), (1, +1): ps._roll(u0, -1, 0),
-        (1, -2): ps._roll(u0, 2, 0), (1, +2): ps._roll(u0, -2, 0),
-        (2, -1): um1_ref[0], (2, +1): up1_ref[0],
-        (2, -2): um2_ref[0], (2, +2): up2_ref[0],
-    }
-
     # ---- grad-U into the A rows (EC3D.f90:667-710) + A-row deviations ----
-    ab0 = ab0_ref[:, 0]                    # (3, TY, BX)
     inert_sel = cond if inertia_on_faces else intc
     inert = jnp.where(inert_sel, c(2.0 / dt) * cf, zero)
+    gout = []
     for comp in range(3):
         one_m = intc & mp[comp]
         one_p = intc & ~mp[comp] & mm[comp]
@@ -373,15 +428,9 @@ def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
               + jnp.where(one_p, g, zero) * un[(comp, +2)])
         gc = gc + inert * ab0[comp]
         if has_conv:
-            cv = conv_ref[comp, 0]
-            if comp == 0:
-                am_, ap_ = ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1)
-            elif comp == 1:
-                am_, ap_ = ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0)
-            else:
-                am_, ap_ = abm_ref[2, 0], abp_ref[2, 0]
-            gc = gc + cv * (ap_ - am_)
-        gout_ref[comp, 0] = gc
+            am_, ap_ = aan[comp]
+            gc = gc + conv[comp] * (ap_ - am_)
+        gout.append(gc)
 
     # ---- U row: case-coded Laplacian + div(dA/dt) (EC3D.f90:766-922) ----
     yu = jnp.where(cond, c(2.0 * (s[0] + s[1] + s[2])), zero) * u0
@@ -403,19 +452,109 @@ def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
         elif a == 1:
             sign = jnp.where(quirk, -big, sign)
         yu = yu + jnp.where(cond & (mm[a] | mp[a]), sign, zero) * ab0[a]
-        if a == 0:
-            am_, ap_ = ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1)
-        elif a == 1:
-            am_, ap_ = ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0)
-        else:
-            am_, ap_ = abm_ref[2, 0], abp_ref[2, 0]
+        am_, ap_ = aan[a]
         yu = yu + jnp.where(interior13, half, zero) * am_
         yu = yu + jnp.where(interior13, -half, zero) * ap_
+    return gout, yu
+
+
+def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
+    """Per-z-plane variant: x/y neighbors are in-VMEM rolls, z neighbors
+    come from clamped single-plane blocks."""
+    if has_conv:
+        (code_ref, cf_ref, conv_ref,
+         um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
+         abm_ref, ab0_ref, abp_ref, gout_ref, uout_ref) = refs
+    else:
+        (code_ref, cf_ref,
+         um2_ref, um1_ref, u0_ref, up1_ref, up2_ref,
+         abm_ref, ab0_ref, abp_ref, gout_ref, uout_ref) = refs
+        conv_ref = None
+    u0 = u0_ref[0]
+    un = {
+        (0, -1): ps._roll(u0, 1, 1), (0, +1): ps._roll(u0, -1, 1),
+        (0, -2): ps._roll(u0, 2, 1), (0, +2): ps._roll(u0, -2, 1),
+        (1, -1): ps._roll(u0, 1, 0), (1, +1): ps._roll(u0, -1, 0),
+        (1, -2): ps._roll(u0, 2, 0), (1, +2): ps._roll(u0, -2, 0),
+        (2, -1): um1_ref[0], (2, +1): up1_ref[0],
+        (2, -2): um2_ref[0], (2, +2): up2_ref[0],
+    }
+    ab0 = ab0_ref[:, 0]                    # (3, TY, BX)
+    aan = {
+        0: (ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1)),
+        1: (ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0)),
+        2: (abm_ref[2, 0], abp_ref[2, 0]),
+    }
+    conv = conv_ref[:, 0] if has_conv else None
+    gout, yu = _u_body(consts, inertia_on_faces, has_conv,
+                       code_ref[0], cf_ref[0], conv, u0, un, ab0, aan)
+    for comp in range(3):
+        gout_ref[comp, 0] = gout[comp]
     uout_ref[0] = yu
+
+
+def _u_coded_kernel_box(consts, inertia_on_faces, has_conv, *refs):
+    """Whole-box variant (grid=(1,)): every operand loads exactly once;
+    z neighbors are in-VMEM rolls along axis 0 (wrap values are killed by
+    the zero-coefficient halo, the same invariant as the flat-roll
+    operator)."""
+    if has_conv:
+        (code_ref, cf_ref, conv_ref, u_ref, ab_ref,
+         gout_ref, uout_ref) = refs
+    else:
+        (code_ref, cf_ref, u_ref, ab_ref, gout_ref, uout_ref) = refs
+        conv_ref = None
+    u0 = u_ref[:]                          # (bz, BYp, BXp)
+    un = {
+        (0, -1): ps._roll(u0, 1, 2), (0, +1): ps._roll(u0, -1, 2),
+        (0, -2): ps._roll(u0, 2, 2), (0, +2): ps._roll(u0, -2, 2),
+        (1, -1): ps._roll(u0, 1, 1), (1, +1): ps._roll(u0, -1, 1),
+        (1, -2): ps._roll(u0, 2, 1), (1, +2): ps._roll(u0, -2, 1),
+        (2, -1): ps._roll(u0, 1, 0), (2, +1): ps._roll(u0, -1, 0),
+        (2, -2): ps._roll(u0, 2, 0), (2, +2): ps._roll(u0, -2, 0),
+    }
+    ab0 = ab_ref[:]                        # (3, bz, BYp, BXp)
+    aan = {
+        0: (ps._roll(ab0[0], 1, 2), ps._roll(ab0[0], -1, 2)),
+        1: (ps._roll(ab0[1], 1, 1), ps._roll(ab0[1], -1, 1)),
+        2: (ps._roll(ab0[2], 1, 0), ps._roll(ab0[2], -1, 0)),
+    }
+    conv = conv_ref[:] if has_conv else None
+    gout, yu = _u_body(consts, inertia_on_faces, has_conv,
+                       code_ref[:], cf_ref[:], conv, u0, un, ab0, aan)
+    for comp in range(3):
+        gout_ref[comp] = gout[comp]
+    uout_ref[:] = yu
 
 
 def _apply_u_coded(coded, Ub_p, Ab_p):
     bz, BYp, BXp = Ub_p.shape
+    # whole-box single-step variant when the working set fits VMEM: every
+    # operand loads exactly once (z neighbors become in-VMEM rolls)
+    n_fields = 10 + (3 if coded.has_conv else 0)
+    if n_fields * bz * BYp * BXp * Ub_p.dtype.itemsize <= 10 * 1024 * 1024:
+        full = lambda shape: pl.BlockSpec(
+            shape, ps._i32map(lambda i, _n=len(shape): (0,) * _n),
+            memory_space=pltpu.VMEM)
+        args = [coded.code_p, coded.cf_p]
+        specs = [full(coded.code_p.shape), full(coded.cf_p.shape)]
+        if coded.has_conv:
+            args.append(coded.conv_p)
+            specs.append(full(coded.conv_p.shape))
+        args += [Ub_p, Ab_p]
+        specs += [full(Ub_p.shape), full(Ab_p.shape)]
+        return pl.pallas_call(
+            partial(_u_coded_kernel_box, coded.consts,
+                    coded.inertia_on_faces, coded.has_conv),
+            grid=(1,),
+            in_specs=specs,
+            out_specs=(full(Ab_p.shape), full(Ub_p.shape)),
+            out_shape=(
+                jax.ShapeDtypeStruct(Ab_p.shape, Ab_p.dtype),
+                jax.ShapeDtypeStruct(Ub_p.shape, Ub_p.dtype),
+            ),
+            interpret=ps.INTERPRET,
+        )(*args)
     u_at = lambda fz: pl.BlockSpec(
         (1, BYp, BXp), ps._i32map(lambda z: (fz(z), 0, 0)),
         memory_space=pltpu.VMEM)
@@ -501,7 +640,8 @@ class CodedStencilOperator:
         return full[:, :ny, :nx]
 
     def apply(self, x: State) -> State:
-        yA = _apply_a_const(self.shape_zyx, self.padded_yx, self.consts, x.A)
+        yA = _apply_a_const_chunk(self.shape_zyx, self.padded_yx,
+                                  self.consts, x.A)
         z0, z1, y0, _, x0, _ = self.box
         bz, BYp, BXp = self.code_p.shape
         Ub = jax.lax.dynamic_slice(x.U, (z0, y0, x0), (bz, BYp, BXp))
