@@ -51,7 +51,7 @@ BASELINES = {
 BEST_CONFIG = {
     "team7": {"precond": "cheb_jacobi", "cheb_order": 8},
     "move": {"precond": "cheb_jacobi", "cheb_order": 8},
-    "lim": {},
+    "lim": {"precond": "jacobi"},
 }
 
 
@@ -646,6 +646,8 @@ def main() -> int:
                 "dot_us": round(t_dot * 1e6, 1),
                 "config": {"precond": best.get("precond", "none"),
                            "warm_start": "extrapolate",
+                           "op": ("coded" if sim.coded_op is not None
+                                  else "fields"),
                            **({"cheb_order": best["cheb_order"]}
                               if "cheb_order" in best else {})},
             }

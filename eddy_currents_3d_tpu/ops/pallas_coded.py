@@ -239,11 +239,16 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
             (0, 0), (ly, BYp - by - ly), (lx, BXp - bx - lx)]
         return jnp.asarray(np.pad(win, pad), fdtype)
 
-    # 1-y-tile requirement (block working set in VMEM); large grids that
-    # would need y tiling fall back to the field kernels
-    blocks_u = 24 + (3 if has_conv else 0)
-    if ps._tile_y(BYp, BXp, blocks_u) < BYp or ps._tile_y(NYp, NXp, 14) < NYp:
-        raise CodedUnsupported("grid needs y tiling; use the field kernels")
+    # whole-(y,x)-plane requirement: the coded kernels keep full planes in
+    # VMEM (the A chunk depth adapts separately); y-tiled coded kernels are
+    # not implemented, so truly huge planes fall back to the field kernels
+    blocks_u = 20 + (3 if has_conv else 0)
+    # conservative VMEM gates (Mosaic double-buffers revolving blocks and
+    # adds scratch: measured ~3x the block footprint on v5e)
+    if blocks_u * BYp * BXp * 4 > 4 * 1024 * 1024 \
+            or 12 * NYp * NXp * 4 > 10 * 1024 * 1024:
+        raise CodedUnsupported("plane too large for the coded kernels' "
+                               "whole-plane VMEM layout")
 
     return CodedStencilOperator(
         code_p=box_pad(code, jnp.int32),
@@ -311,10 +316,16 @@ def _a_const_kernel_chunk(nx, ny, nz, CZ, s, BND,
     out_ref[:] = jnp.where(valid[None, None], y, c(0.0))
 
 
-def _apply_a_const_chunk(shape_zyx, padded_yx, consts, A_p, CZ: int = 8):
+def _apply_a_const_chunk(shape_zyx, padded_yx, consts, A_p, CZ: int = 0):
     nz, ny, nx = shape_zyx
     NYp, NXp = padded_yx
     s, ds, dt, delta, BND = consts
+    if CZ <= 0:
+        # chunk depth bounded by a ~3.5 MB in+out budget (6 component
+        # planes per chunk z-plane; Mosaic double-buffers the revolving
+        # blocks, so the VMEM footprint is ~2x this); CZ=1 degenerates to
+        # the 3-plane form
+        CZ = int(max(1, min(8, 3.5e6 // (6 * NYp * NXp * 4))))
     nk = -(-nz // CZ)
     chunk = pl.BlockSpec(
         (3, CZ, NYp, NXp), ps._i32map(lambda k: (0, k, 0, 0)),

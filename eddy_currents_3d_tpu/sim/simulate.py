@@ -126,7 +126,7 @@ class Simulation:
         # kernels eliminate).  use_coded=None auto-selects with a silent
         # fallback to the field kernels on CodedUnsupported.
         self.coded_op = None
-        if use_coded and use_pallas and mesh is None \
+        if (use_coded is None or use_coded) and use_pallas and mesh is None \
                 and coeff_dtype is None and precond != "mg" and dtype == jnp.float32:
             from ..ops.pallas_coded import CodedUnsupported, from_assembled_coded
             try:
