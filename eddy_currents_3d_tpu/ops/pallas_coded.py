@@ -412,7 +412,13 @@ def _u_body(consts, inertia_on_faces, has_conv,
 
     Neighbor values are materialized by the caller (per-plane vs whole-box
     kernels roll along different array axes): ``un[(axis, d)]`` are the U
-    neighbors, ``aan[a]`` the (−1, +1) A_a neighbors along axis a."""
+    neighbors, ``aan[(comp, a)]`` the (−1, +1) neighbors of component
+    ``comp`` along axis ``a``.  Only the diagonal pairs ``(a, a)`` are
+    required (div(dA/dt)); the full 3x3 map is required when ``has_conv``
+    — the assembled convection term ±Ve_a/(2Δ_a) lives in the shared
+    A-stencil (assemble.py:184-186), so it acts on EVERY component's
+    neighbors along every axis: row comp gains
+    Σ_a conv_a·(A_comp(+a) − A_comp(−a))."""
     s, ds, dt, delta, _ = consts
     dt_f = u0.dtype
     c = lambda v: jnp.asarray(v, dt_f)
@@ -439,8 +445,9 @@ def _u_body(consts, inertia_on_faces, has_conv,
               + jnp.where(one_p, g, zero) * un[(comp, +2)])
         gc = gc + inert * ab0[comp]
         if has_conv:
-            am_, ap_ = aan[comp]
-            gc = gc + conv[comp] * (ap_ - am_)
+            for a in range(3):
+                am_, ap_ = aan[(comp, a)]
+                gc = gc + conv[a] * (ap_ - am_)
         gout.append(gc)
 
     # ---- U row: case-coded Laplacian + div(dA/dt) (EC3D.f90:766-922) ----
@@ -463,7 +470,7 @@ def _u_body(consts, inertia_on_faces, has_conv,
         elif a == 1:
             sign = jnp.where(quirk, -big, sign)
         yu = yu + jnp.where(cond & (mm[a] | mp[a]), sign, zero) * ab0[a]
-        am_, ap_ = aan[a]
+        am_, ap_ = aan[(a, a)]
         yu = yu + jnp.where(interior13, half, zero) * am_
         yu = yu + jnp.where(interior13, -half, zero) * ap_
     return gout, yu
@@ -491,11 +498,18 @@ def _u_coded_kernel(consts, inertia_on_faces, has_conv, *refs):
         (2, -2): um2_ref[0], (2, +2): up2_ref[0],
     }
     ab0 = ab0_ref[:, 0]                    # (3, TY, BX)
-    aan = {
-        0: (ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1)),
-        1: (ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0)),
-        2: (abm_ref[2, 0], abp_ref[2, 0]),
-    }
+    # neighbor pairs (comp, axis): x/y are in-VMEM rolls of the current
+    # plane, z comes from the clamped ±1 plane blocks (all 3 components)
+    comps = range(3) if has_conv else None
+    aan = {}
+    for comp in (comps or ()):
+        aan[(comp, 0)] = (ps._roll(ab0[comp], 1, 1), ps._roll(ab0[comp], -1, 1))
+        aan[(comp, 1)] = (ps._roll(ab0[comp], 1, 0), ps._roll(ab0[comp], -1, 0))
+        aan[(comp, 2)] = (abm_ref[comp, 0], abp_ref[comp, 0])
+    if not has_conv:   # diagonal pairs only (div(dA/dt) term)
+        aan[(0, 0)] = (ps._roll(ab0[0], 1, 1), ps._roll(ab0[0], -1, 1))
+        aan[(1, 1)] = (ps._roll(ab0[1], 1, 0), ps._roll(ab0[1], -1, 0))
+        aan[(2, 2)] = (abm_ref[2, 0], abp_ref[2, 0])
     conv = conv_ref[:, 0] if has_conv else None
     gout, yu = _u_body(consts, inertia_on_faces, has_conv,
                        code_ref[0], cf_ref[0], conv, u0, un, ab0, aan)
@@ -525,11 +539,11 @@ def _u_coded_kernel_box(consts, inertia_on_faces, has_conv, *refs):
         (2, -2): ps._roll(u0, 2, 0), (2, +2): ps._roll(u0, -2, 0),
     }
     ab0 = ab_ref[:]                        # (3, bz, BYp, BXp)
-    aan = {
-        0: (ps._roll(ab0[0], 1, 2), ps._roll(ab0[0], -1, 2)),
-        1: (ps._roll(ab0[1], 1, 1), ps._roll(ab0[1], -1, 1)),
-        2: (ps._roll(ab0[2], 1, 0), ps._roll(ab0[2], -1, 0)),
-    }
+    # neighbor pairs (comp, axis); array axis for grid axis a is (2 - a)
+    pairs = ([(c, a) for c in range(3) for a in range(3)] if has_conv
+             else [(0, 0), (1, 1), (2, 2)])
+    aan = {(c, a): (ps._roll(ab0[c], 1, 2 - a), ps._roll(ab0[c], -1, 2 - a))
+           for c, a in pairs}
     conv = conv_ref[:] if has_conv else None
     gout, yu = _u_body(consts, inertia_on_faces, has_conv,
                        code_ref[:], cf_ref[:], conv, u0, un, ab0, aan)
@@ -538,12 +552,17 @@ def _u_coded_kernel_box(consts, inertia_on_faces, has_conv, *refs):
     uout_ref[:] = yu
 
 
+# whole-box U-kernel working-set budget; tests shrink it to force the
+# per-plane variant
+_BOX_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 def _apply_u_coded(coded, Ub_p, Ab_p):
     bz, BYp, BXp = Ub_p.shape
     # whole-box single-step variant when the working set fits VMEM: every
     # operand loads exactly once (z neighbors become in-VMEM rolls)
     n_fields = 10 + (3 if coded.has_conv else 0)
-    if n_fields * bz * BYp * BXp * Ub_p.dtype.itemsize <= 10 * 1024 * 1024:
+    if n_fields * bz * BYp * BXp * Ub_p.dtype.itemsize <= _BOX_VMEM_BUDGET:
         full = lambda shape: pl.BlockSpec(
             shape, ps._i32map(lambda i, _n=len(shape): (0,) * _n),
             memory_space=pltpu.VMEM)

@@ -126,14 +126,26 @@ class Simulation:
         # kernels eliminate).  use_coded=None auto-selects with a silent
         # fallback to the field kernels on CodedUnsupported.
         self.coded_op = None
-        if (use_coded is None or use_coded) and use_pallas and mesh is None \
-                and coeff_dtype is None and precond != "mg" and dtype == jnp.float32:
+        coded_ok = (use_pallas and mesh is None and coeff_dtype is None
+                    and precond != "mg" and dtype == jnp.float32)
+        if (use_coded is None or use_coded) and coded_ok:
             from ..ops.pallas_coded import CodedUnsupported, from_assembled_coded
             try:
                 self.coded_op = from_assembled_coded(self.system, model)
             except CodedUnsupported:
                 if use_coded:
                     raise
+        elif use_coded:
+            # an explicit request must not silently degrade to the field
+            # kernels — name the option that disables the coded path
+            why = ("use_pallas=False" if not use_pallas else
+                   "mesh is set" if mesh is not None else
+                   f"coeff_dtype={coeff_dtype}" if coeff_dtype is not None else
+                   "precond='mg'" if precond == "mg" else
+                   f"dtype={jnp.dtype(dtype).name}")
+            raise ValueError(
+                f"use_coded=True is incompatible with {why}; the coded "
+                "kernels require the single-device f32 Pallas path")
 
         self.pallas_op = (
             pallas_stencil.from_assembled(self.system)

@@ -286,9 +286,16 @@ def ilu0_stencil_factorize(system, model, dtype=None,
     keys = rows * ntot + cols          # ascending (CSR + sorted columns)
 
     def lookup(r, c):
-        idx = np.searchsorted(keys, r.astype(np.int64) * ntot + c)
-        assert np.array_equal(keys[idx], r.astype(np.int64) * ntot + c), \
-            "ILU(0) pattern mismatch during stencil extraction"
+        want = r.astype(np.int64) * ntot + c
+        idx = np.searchsorted(keys, want)
+        # unconditional (assert would vanish under python -O): a mask or
+        # ordering bug here would otherwise silently extract wrong factor
+        # values — e.g. u_col = 3N + condno - 1 evaluates to a *valid* A
+        # column (3N - 1) on non-conducting cells
+        if not np.array_equal(keys[np.clip(idx, 0, len(keys) - 1)], want):
+            raise ValueError(
+                "ILU(0) pattern mismatch during stencil extraction: a "
+                "requested (row, col) entry is absent from the CSR pattern")
         return fv[idx]
 
     nz, ny, nx = system.shape_zyx
@@ -297,7 +304,16 @@ def ilu0_stencil_factorize(system, model, dtype=None,
     flat = np.arange(N, dtype=np.int64)
     stride = {0: 1, 1: nx, 2: nx * ny}
     condno = model.cond_number.ravel().astype(np.int64)
-    u_col = 3 * N + condno - 1         # valid where condno > 0
+
+    def u_col(cells):
+        """Global U column of flat cells; refuses non-conducting cells
+        (where 3N + condno - 1 would alias the valid A column 3N - 1)."""
+        cn = condno[cells]
+        if (cn <= 0).any():
+            raise ValueError(
+                "ILU(0) stencil extraction requested the U column of a "
+                "non-conducting cell")
+        return 3 * N + cn - 1
 
     # --- A blocks: extract from block 0 (shared across components) ---
     kaF = np.zeros((7, N))
@@ -320,7 +336,7 @@ def ilu0_stencil_factorize(system, model, dtype=None,
             keep = system.np_gu[c, k].ravel() != 0.0
             tgt = np.clip(flat + d * stride[c], 0, N - 1)
             guU[c, k].reshape(N)[keep] = lookup(
-                c * N + flat[keep], u_col[tgt[keep]])
+                c * N + flat[keep], u_col(tgt[keep]))
 
     # --- da: U-row -> A-column coupling, always strict lower ---
     daL = np.zeros((3, 3) + shape)
@@ -329,20 +345,21 @@ def ilu0_stencil_factorize(system, model, dtype=None,
             keep = system.np_da[c, k].ravel() != 0.0
             tgt = np.clip(flat + d * stride[c], 0, N - 1)
             daL[c, k].reshape(N)[keep] = lookup(
-                u_col[flat[keep]], c * N + tgt[keep])
+                u_col(flat[keep]), c * N + tgt[keep])
 
     # --- ku: split per entry by the conducting-number order ---
     kuL = np.zeros((7,) + shape)
     kuU = np.zeros((7,) + shape)
     d_U = np.ones(shape)
     keep0 = system.np_ku[0].ravel() != 0.0
-    d_U.reshape(N)[keep0] = lookup(u_col[keep0], u_col[keep0])
+    uc0 = u_col(np.nonzero(keep0)[0])
+    d_U.reshape(N)[keep0] = lookup(uc0, uc0)
     for o, (axis, d) in enumerate(OFFSETS7):
         if o == 0:
             continue
         keep = system.np_ku[o].ravel() != 0.0
         tgt = np.clip(flat + d * stride[axis], 0, N - 1)
-        r, c = u_col[keep], u_col[tgt[keep]]
+        r, c = u_col(np.nonzero(keep)[0]), u_col(tgt[keep])
         vals = lookup(r, c)
         lower = c < r
         tmpL = np.zeros(N); tmpU = np.zeros(N)

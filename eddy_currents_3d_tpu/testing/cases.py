@@ -17,7 +17,8 @@ import numpy as np
 from ..models.vxc import LETTERS, read_vxc
 from ..models.model import Model
 
-__all__ = ["make_vxc_text", "load_case", "case_static", "case_moving", "case_lim"]
+__all__ = ["make_vxc_text", "load_case", "case_static", "case_moving",
+           "case_lim", "case_convection"]
 
 _HEADER = """<?xml version="1.0" encoding="ISO-8859-1"?>
 <VXC Version="0.94">
@@ -163,5 +164,33 @@ def case_lim(shape_xyz=(36, 12, 10), tol=5e-3, steps=6, dt=1e-3) -> str:
         f"f5 func Ibm=-a*cosd(360*f*t+120) a={amp} f=50 t=t",
         f"f6 func Icm=-a*cosd(360*f*t-120) a={amp} f=50 t=t",
         "f7 func Vx=a*impl2(sind(360*f*t)) a='(Nx+10)*dx/time' f='1/time' t=t",
+    ]
+    return make_vxc_text(shape_xyz, 0.005, names, geo.ravel())
+
+
+def case_convection(shape_xyz=(24, 12, 10), tol=5e-3, steps=4, dt=1e-3,
+                    ve=(3.0, 2.0, 1.0)) -> str:
+    """Moving-conductor case: the conducting bar itself has a nonzero
+    velocity VEX/VEY/VEZ, so assembly adds the central convection terms
+    ±Ve_a/(2Δ_a) to the shared A stencil (EC3D.f90:656-663).  This is the
+    one case family where the coded kernels' has_conv branch is live."""
+    nx, ny, nz = shape_xyz
+    geo = _grid(shape_xyz)
+    geo[2:5, 3 : ny - 3, 2 : nx - 2] = 1   # conducting bar (interior, >=3 thick)
+    slots = [(6, 7), (10, 11), (14, 15)]
+    for idx, (xa, xb) in enumerate(slots):
+        geo[6:8, 3 : ny - 3, xa:xb] = 2 + idx
+    amp = "'800/(1*dx*2*dz)'"
+    vex, vey, vez = ve
+    names = [
+        f"plast D=1 C='mu0*37.26e6' VEX={vex!r} VEY={vey!r} VEZ={vez!r}",
+        "ap D=1 SRCy=Iap",
+        "bp D=1 SRCy=Ibp",
+        "cp D=1 SRCy=Icp",
+        f"param tran stop={steps * dt} step={dt}",
+        f"p2 solver tol={tol} itmax=10000 dir=out",
+        f"f1 func Iap=a*cosd(360*f*t) a={amp} f=50 t=t",
+        f"f2 func Ibp=a*cosd(360*f*t+120) a={amp} f=50 t=t",
+        f"f3 func Icp=a*cosd(360*f*t-120) a={amp} f=50 t=t",
     ]
     return make_vxc_text(shape_xyz, 0.005, names, geo.ravel())

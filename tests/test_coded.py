@@ -2,8 +2,9 @@
 itself against the assembled fields (bit-exact f64 reconstruction), and
 the coded kernels (interpret mode on CPU) must reproduce the field
 operator's matvec to f32-ulp accuracy on every case family — including
-convection (LIM), moving coils, non-default BND multipliers, and the
-inertia_on_faces extension."""
+moving-conductor convection (case_convection, both kernel variants),
+moving coils, non-default BND multipliers, and the inertia_on_faces
+extension."""
 
 import numpy as np
 import jax
@@ -17,7 +18,7 @@ from eddy_currents_3d_tpu.ops.pallas_coded import (
     CodedUnsupported, from_assembled_coded,
 )
 from eddy_currents_3d_tpu.testing.cases import (
-    case_lim, case_moving, case_static, load_case,
+    case_convection, case_lim, case_moving, case_static, load_case,
 )
 
 
@@ -60,14 +61,48 @@ def test_static_case(rng):
     assert not coded.has_conv
 
 
-def test_lim_case_with_convection(rng):
+def test_lim_case(rng):
+    # lim's coils move, but the conductor itself is static: has_conv must
+    # be False (conductor velocity, not coil motion, drives convection)
     model = load_case(case_lim(shape_xyz=(24, 11, 10), steps=2))
-    _check_case(model, rng)
+    coded = _check_case(model, rng)
+    assert not coded.has_conv
 
 
 def test_moving_case(rng):
     model = load_case(case_moving(shape_xyz=(16, 16, 10), steps=2))
-    _check_case(model, rng)
+    coded = _check_case(model, rng)
+    assert not coded.has_conv
+
+
+def test_convection_case(rng):
+    """Moving conductor (VEX/VEY/VEZ != 0): the has_conv kernel branch is
+    live and the coded matvec must match the f64 field operator on EVERY
+    component — the assembled convection pair ±Ve_a/(2Δ_a) sits in the
+    shared A stencil (assemble.py:184-186), so each component row takes
+    convection terms along all three axes, not just its own."""
+    model = load_case(case_convection(shape_xyz=(24, 12, 10), steps=2))
+    coded = _check_case(model, rng)
+    assert coded.has_conv
+
+
+def test_convection_single_axis(rng):
+    # exercise the sparser conv pattern (only one axis live)
+    model = load_case(case_convection(shape_xyz=(20, 12, 10), steps=2,
+                                      ve=(0.0, 4.0, 0.0)))
+    coded = _check_case(model, rng)
+    assert coded.has_conv
+
+
+def test_convection_per_plane_kernel(rng, monkeypatch):
+    """Same convection check through the per-plane U-kernel variant (the
+    large-box path), forced by shrinking the whole-box VMEM budget."""
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    monkeypatch.setattr(pc, "_BOX_VMEM_BUDGET", 0)
+    model = load_case(case_convection(shape_xyz=(24, 12, 10), steps=2))
+    coded = _check_case(model, rng)
+    assert coded.has_conv
 
 
 def test_custom_bnd_multipliers(rng):
@@ -140,3 +175,15 @@ def test_simulation_with_coded_operator_matches():
     scale = np.abs(np.asarray(ref.A)).max()
     np.testing.assert_allclose(np.asarray(st.A), np.asarray(ref.A),
                                atol=4 * tol * scale)
+
+
+def test_use_coded_incompatible_raises():
+    """An explicit use_coded=True must raise (not silently fall back to the
+    field kernels) when another option disables the coded path."""
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+
+    model = load_case(case_static(shape_xyz=(16, 14, 12), steps=2))
+    with pytest.raises(ValueError, match="use_coded=True is incompatible"):
+        Simulation(model, dtype=jnp.float32, use_pallas=False, use_coded=True)
+    with pytest.raises(ValueError, match="use_coded=True is incompatible"):
+        Simulation(model, dtype=jnp.float64, use_coded=True)
