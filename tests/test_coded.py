@@ -94,12 +94,13 @@ def test_convection_single_axis(rng):
     assert coded.has_conv
 
 
-def test_convection_per_plane_kernel(rng, monkeypatch):
-    """Same convection check through the per-plane U-kernel variant (the
-    large-box path), forced by shrinking the whole-box VMEM budget."""
+def test_convection_chunk_depth_one(rng, monkeypatch):
+    """Same convection check with the fused kernel forced to CZ=1 (every
+    z neighbor crosses a chunk edge — exercises the stitched neighbor-
+    plane path rather than in-chunk concatenation)."""
     from eddy_currents_3d_tpu.ops import pallas_coded as pc
 
-    monkeypatch.setattr(pc, "_BOX_VMEM_BUDGET", 0)
+    monkeypatch.setattr(pc, "_CHUNK_BUDGET", 0)
     model = load_case(case_convection(shape_xyz=(24, 12, 10), steps=2))
     coded = _check_case(model, rng)
     assert coded.has_conv
