@@ -66,19 +66,35 @@ def _put_grid(x, mesh):
     return jax.device_put(x, replicated(mesh))
 
 
-def shard_system(system, mesh: Mesh):
-    """Place an AssembledSystem's device arrays on the mesh."""
+def shard_system(system, mesh: Mesh, include_op: bool = True):
+    """Place an AssembledSystem's device arrays on the mesh.
+
+    ``include_op=False`` drops the operator's coefficient streams instead
+    of placing them: the explicit shard_map tier (parallel/shard_op.py)
+    owns its own padded per-device copies and never reads ``system.op``
+    after construction, so placing both would hold ~2x the coefficient HBM
+    per device for the run's lifetime.  Host ``np_*`` copies and the box
+    metadata stay available either way."""
     from ..assembly.assemble import AssembledSystem
     from ..assembly.stencil import StencilOperator
+    import jax.numpy as jnp
 
-    op = StencilOperator(
-        ka=_put_grid(system.op.ka, mesh),
-        # the box-restricted U-coupling streams are small; replicate them
-        gu=jax.device_put(system.op.gu, replicated(mesh)),
-        ku=jax.device_put(system.op.ku, replicated(mesh)),
-        da=jax.device_put(system.op.da, replicated(mesh)),
-        box=system.op.box,
-    )
+    if include_op:
+        op = StencilOperator(
+            ka=_put_grid(system.op.ka, mesh),
+            # the box-restricted U-coupling streams are small; replicate them
+            gu=jax.device_put(system.op.gu, replicated(mesh)),
+            ku=jax.device_put(system.op.ku, replicated(mesh)),
+            da=jax.device_put(system.op.da, replicated(mesh)),
+            box=system.op.box,
+        )
+    else:
+        empty = lambda a: jnp.zeros((0,) * a.ndim, a.dtype)
+        op = StencilOperator(
+            ka=empty(system.op.ka), gu=empty(system.op.gu),
+            ku=empty(system.op.ku), da=empty(system.op.da),
+            box=system.op.box,
+        )
     return AssembledSystem(
         op=op,
         cond_mask=_put_grid(system.cond_mask, mesh),
@@ -104,6 +120,7 @@ def shard_state(state, mesh: Mesh):
         motion=MotionState(
             distance=jax.device_put(state.motion.distance, replicated(mesh)),
             movestop=jax.device_put(state.motion.movestop, replicated(mesh)),
+            comp=jax.device_put(state.motion.comp, replicated(mesh)),
         ),
         prev=(State(_put_grid(state.prev.A, mesh), _put_grid(state.prev.U, mesh))
               if state.prev is not None else None),

@@ -68,6 +68,7 @@ def save_checkpoint(path: str, state: SimState, step_index: int, npoint: int,
         carry=np.asarray(state.carry),
         distance=np.asarray(state.motion.distance),
         movestop=np.asarray(state.motion.movestop),
+        motion_comp=np.asarray(state.motion.comp),
         step_index=np.int64(step_index),
         npoint=np.int64(npoint),
         fingerprint=np.frombuffer(fingerprint.encode(), np.uint8),
@@ -97,6 +98,9 @@ def load_checkpoint(path: str, fingerprint: str, dtype=None):
         motion=MotionState(
             distance=jnp.asarray(z["distance"]),
             movestop=jnp.asarray(z["movestop"]),
+            # pre-Kahan checkpoints carry no compensation: resume with 0
+            comp=(jnp.asarray(z["motion_comp"]) if "motion_comp" in z.files
+                  else jnp.zeros_like(jnp.asarray(z["distance"]))),
         ),
         prev=(State(cast(z["prevA"]), cast(z["prevU"]))
               if "prevA" in z.files else None),

@@ -33,14 +33,24 @@ __all__ = ["MotionState", "motion_init", "advance_function"]
 
 
 class MotionState(NamedTuple):
-    distance: jax.Array    # (numfun, 3) float64-ish accumulated displacement
+    distance: jax.Array    # (numfun, 3) accumulated displacement
     movestop: jax.Array    # (3,) int32 global latch (EC3D.f90:238)
+    # Kahan compensation for `distance`: the reference accumulates Distance
+    # in float64 (EC3D.f90:1052-1062); on TPU without x64 the state is f32,
+    # where a plain running sum drifts by ~n*ulp over n steps and can
+    # mis-round the nint() voxel shift on long transients.  Compensated
+    # summation bounds the error to ~1 ulp of each term independent of
+    # step count, matching f64 accumulation for any realistic trajectory.
+    comp: jax.Array        # (numfun, 3) same dtype as distance
 
 
-def motion_init(numfun: int, dtype=jnp.float32) -> MotionState:
+def motion_init(numfun: int, dtype=None) -> MotionState:
+    if dtype is None:
+        dtype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     return MotionState(
         distance=jnp.zeros((numfun, 3), dtype),
         movestop=jnp.ones((3,), jnp.int32),
+        comp=jnp.zeros((numfun, 3), dtype),
     )
 
 
@@ -63,6 +73,7 @@ class FunctionMotion:
 def advance_function(
     fm: FunctionMotion,
     distance_row: jax.Array,        # (3,)
+    comp_row: jax.Array,            # (3,) Kahan compensation
     movestop: jax.Array,            # (3,) int32
     vmech_vals: jax.Array,          # (numMech,) velocities at this step
     dt: float,
@@ -70,19 +81,28 @@ def advance_function(
 ):
     """One function's motion for one step.
 
-    Returns (new_distance_row, new_movestop, new_flat_cells) where
-    new_flat_cells are 0-based flat grid indices of the displaced voxels.
+    Returns (new_distance_row, new_comp_row, new_movestop, new_flat_cells)
+    where new_flat_cells are 0-based flat grid indices of the displaced
+    voxels.
     """
-    # --- motion_calc (EC3D.f90:1052-1062) ---
-    parts = []
+    # --- motion_calc (EC3D.f90:1052-1062), Kahan-compensated so the f32
+    # running sum tracks the reference's f64 accumulator (see MotionState)
+    parts, comps = [], []
     for a in range(3):
         vi = fm.vmech_index[a]
         if vi == 0:
             # constant velocity: gated by the X latch (reference quirk)
-            parts.append(distance_row[a] + movestop[0].astype(distance_row.dtype) * fm.const_shift[a])
+            term = movestop[0].astype(distance_row.dtype) * jnp.asarray(
+                fm.const_shift[a], distance_row.dtype)
         else:
-            parts.append(distance_row[a] + vmech_vals[vi - 1] * (dt / float(delta[a])))
+            term = (vmech_vals[vi - 1] * (dt / float(delta[a]))
+                    ).astype(distance_row.dtype)
+        y = term - comp_row[a]
+        t = distance_row[a] + y
+        comps.append((t - distance_row[a]) - y)
+        parts.append(t)
     new_dist = jnp.stack(parts)
+    new_comp = jnp.stack(comps)
     length = _anint(new_dist)       # (3,)
 
     # --- new_m (EC3D.f90:1064-1114), vectorized over voxels ---
@@ -111,4 +131,4 @@ def advance_function(
     new_movestop = jnp.stack(new_ms)
     nx, ny = int(sd[0]), int(sd[1])
     flat = pos[0] + nx * pos[1] + nx * ny * pos[2]
-    return new_dist, new_movestop, flat
+    return new_dist, new_comp, new_movestop, flat

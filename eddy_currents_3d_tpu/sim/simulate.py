@@ -286,7 +286,11 @@ class Simulation:
 
         if mesh is not None:
             from ..parallel.mesh import shard_system, shard_state
-            self.system = shard_system(self.system, mesh)
+            # when the explicit shard tier owns the per-device coefficient
+            # layout, drop (never place) system.op's streams — one
+            # coefficient copy per device, not two
+            self.system = shard_system(self.system, mesh,
+                                       include_op=self.shard_op is None)
             self._shard_state = lambda s: shard_state(s, mesh)
         else:
             self._shard_state = lambda s: s
@@ -303,7 +307,7 @@ class Simulation:
             A=jnp.zeros((3, nz, ny, nx), self.dtype),
             U=jnp.zeros((nz, ny, nx), self.dtype),
             carry=jnp.zeros((3, nz, ny, nx), self.dtype),
-            motion=motion_init(len(self.model.functions), jnp.asarray(0.0).dtype),
+            motion=motion_init(len(self.model.functions)),
             prev=(State(jnp.zeros((3, nz, ny, nx), self.dtype),
                         jnp.zeros((nz, ny, nx), self.dtype))
                   if self.warm_start == "extrapolate" else None),
@@ -332,16 +336,21 @@ class Simulation:
         if self.flag_move:
             movestop = motion.movestop
             dist_rows = []
+            comp_rows = []
             for comp, fn, cells, fm in self._funs:
-                drow, movestop, flat = advance_function(
-                    fm, motion.distance[fm.index], movestop, vmech_vals, dt, model.delta
+                drow, crow, movestop, flat = advance_function(
+                    fm, motion.distance[fm.index], motion.comp[fm.index],
+                    movestop, vmech_vals, dt, model.delta
                 )
                 dist_rows.append(drow)
+                comp_rows.append(crow)
                 val = jnp.asarray(fn(t), self.dtype)
                 base = base.at[comp, flat].set(val)
                 src_cells.append(flat)
                 src_values.append(val)
-            motion = MotionState(distance=jnp.stack(dist_rows), movestop=movestop)
+            motion = MotionState(distance=jnp.stack(dist_rows),
+                                 movestop=movestop,
+                                 comp=jnp.stack(comp_rows))
         else:
             for comp, fn, cells, fm in self._funs:
                 val = jnp.asarray(fn(t), self.dtype)
@@ -542,16 +551,22 @@ class Simulation:
     def _callback_supported(self) -> bool:
         """Probe once whether the backend can run host io_callbacks (the
         axon TPU tunnel cannot: 'axon_pjrt does not support host send/recv
-        callbacks')."""
+        callbacks').  The probe outcome is logged once per Simulation so a
+        silent demotion of scan runs to chunked mode is visible."""
         if self._io_cb_ok is None:
+            import sys
             from jax.experimental import io_callback
             try:
                 jax.jit(lambda x: (io_callback(lambda v: None, None, x,
                                                ordered=False), x * 1.0)[1]
                         )(jnp.zeros(1)).block_until_ready()
                 self._io_cb_ok = True
-            except Exception:
+            except Exception as e:
                 self._io_cb_ok = False
+                self._io_cb_reason = f"{type(e).__name__}: {str(e)[:200]}"
+                print("eddy_currents_3d_tpu: io_callback unsupported on "
+                      f"this backend ({self._io_cb_reason}); scan outputs "
+                      "fall back to chunked scans", file=sys.stderr)
         return self._io_cb_ok
 
     def _run_scan_chunked(self, steps, times, state, output_dir):

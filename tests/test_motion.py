@@ -42,11 +42,12 @@ def test_constant_velocity_trajectory(shift, steps):
     ijk0 = np.array([[x, y, 4] for x in range(5, 8) for y in range(4, 6)])
     fm = _fm(ijk0, shape, const_shift=(shift, 0.0, 0.0))
     dist = jnp.zeros(3)
+    comp = jnp.zeros(3)
     ms = jnp.ones(3, jnp.int32)
     dist_o = np.zeros(3)
     ms_o = np.ones(3, int)
     for _ in range(steps):
-        dist, ms, flat = advance_function(fm, dist, ms, jnp.zeros(1), 1.0, np.ones(3))
+        dist, comp, ms, flat = advance_function(fm, dist, comp, ms, jnp.zeros(1), 1.0, np.ones(3))
         # oracle: motion_calc uses movestop[0] for constant-velocity axes
         dist_o[0] += ms_o[0] * shift
         length = np.trunc(dist_o + np.where(dist_o >= 0, 0.5, -0.5)).astype(int)
@@ -65,10 +66,10 @@ def test_clamp_latches_and_rearms():
     # reference's sequential per-voxel updates; covered by the trajectory test)
     ijk0 = np.array([[8, 4, 4]])
     fm = _fm(ijk0, shape, const_shift=(1.0, 0.0, 0.0))
-    dist = jnp.zeros(3); ms = jnp.ones(3, jnp.int32)
+    dist = jnp.zeros(3); comp = jnp.zeros(3); ms = jnp.ones(3, jnp.int32)
     hits = []
     for _ in range(4):
-        dist, ms, flat = advance_function(fm, dist, ms, jnp.zeros(1), 1.0, np.ones(3))
+        dist, comp, ms, flat = advance_function(fm, dist, comp, ms, jnp.zeros(1), 1.0, np.ones(3))
         hits.append((int(ms[0]), np.asarray(flat)[0] % 12))
     # step1: 8+1=9 = sd-3 in range -> latch stays 1; step2: 10 > 9 clamp -> 0;
     # after latch drops, distance freezes (ms[0]=0 multiplies the shift)
@@ -79,7 +80,7 @@ def test_clamp_latches_and_rearms():
     # reverse direction via new motion spec: latch-0 keeps constant-velocity
     # axes frozen forever in the reference (Distance += 0*shift) — verify
     fm_rev = _fm(ijk0, shape, const_shift=(-1.0, 0.0, 0.0))
-    dist, ms, flat = advance_function(fm_rev, dist, ms, jnp.zeros(1), 1.0, np.ones(3))
+    dist, comp, ms, flat = advance_function(fm_rev, dist, comp, ms, jnp.zeros(1), 1.0, np.ones(3))
     assert float(dist[0]) == d_frozen
 
 
@@ -89,8 +90,9 @@ def test_function_velocity_ignores_latch():
     shape = (12, 10, 10)
     ijk0 = np.array([[5, 4, 4]])
     fm = _fm(ijk0, shape, vmech=(1, 0, 0))
-    dist = jnp.zeros(3); ms = jnp.zeros(3, jnp.int32)   # latch down
-    dist, ms, flat = advance_function(fm, dist, ms, jnp.asarray([2.5]), 1.0, np.ones(3))
+    dist = jnp.zeros(3); comp = jnp.zeros(3)
+    ms = jnp.zeros(3, jnp.int32)   # latch down
+    dist, comp, ms, flat = advance_function(fm, dist, comp, ms, jnp.asarray([2.5]), 1.0, np.ones(3))
     assert float(dist[0]) == pytest.approx(2.5)
 
 
@@ -116,3 +118,38 @@ def test_moving_simulation_matches_oracle_loop():
     np.testing.assert_allclose(
         np.asarray(st.carry), J_o, atol=2e-3 * max(np.abs(J_o).max(), 1e-30)
     )
+
+
+def test_long_transient_f32_matches_f64_oracle():
+    """2,500-step moving-source trajectory with an f32 Kahan-compensated
+    accumulator vs the reference's f64 sequential accumulation
+    (EC3D.f90:1052-1062): every nint() voxel shift must agree.  A plain
+    f32 running sum drifts by ~n*ulp and mis-rounds shifts on transients
+    this long; the compensation keeps the error at ~1 ulp per term."""
+    shape = (64, 12, 10)
+    ijk0 = np.array([[20, 5, 4]])
+    # adversarial increment: irrational-ish fraction of a cell, long period
+    shift = 0.0503711938
+    fm = _fm(ijk0, shape, vmech=(1, 0, 0))
+    dist = jnp.zeros(3, jnp.float32)
+    comp = jnp.zeros(3, jnp.float32)
+    ms = jnp.ones(3, jnp.int32)
+    dist64 = np.zeros(3)
+    n_steps = 2500
+    naive32 = np.float32(0.0)
+    for s in range(n_steps):
+        # reciprocating velocity so the voxel stays in range
+        v = shift if (s // 500) % 2 == 0 else -shift
+        vv = jnp.asarray([v], jnp.float32)
+        dist, comp, ms, flat = advance_function(fm, dist, comp, ms, vv, 1.0, np.ones(3))
+        dist64[0] += np.float64(np.float32(v))
+        naive32 = np.float32(naive32 + np.float32(v))
+        length64 = np.trunc(dist64 + np.where(dist64 >= 0, 0.5, -0.5)).astype(int)
+        flat_o, _ = _oracle_new_m(ijk0, length64, np.ones(3, int), shape)
+        np.testing.assert_array_equal(np.asarray(flat), flat_o,
+                                      err_msg=f"voxel shift diverged at step {s}")
+    # the compensated f32 accumulator tracks f64 to ~1 ulp...
+    assert abs(float(dist[0]) - dist64[0]) < 1e-5
+    # ...while this transient is long enough that the naive f32 sum has
+    # visibly drifted from it (guards that the test has teeth)
+    assert abs(float(naive32) - dist64[0]) > abs(float(dist[0]) - dist64[0])

