@@ -69,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan", action="store_true",
                    help="run the transient as one on-device lax.scan "
                    "dispatch (max throughput; VTK output streams via "
-                   "io_callback; checkpointing unavailable)")
+                   "io_callback; with --checkpoint-dir the run segments "
+                   "at checkpoint boundaries)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="write ckpt_<step>.npz files here")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
@@ -154,25 +155,26 @@ def main(argv=None) -> int:
             print(f"output    : {output_dir}/field_N.vtk, src_N.vtk")
 
     if args.scan:
-        if args.checkpoint_dir or args.resume:
-            print("error: --scan does not support checkpointing",
-                  file=sys.stderr)
-            return 2
         import time as _time
 
         t0 = _time.perf_counter()
         state, sdiag = sim.run_scan(num_steps=args.steps,
-                                    output_dir=output_dir)
+                                    output_dir=output_dir,
+                                    checkpoint_dir=args.checkpoint_dir,
+                                    checkpoint_every=args.checkpoint_every,
+                                    resume=args.resume)
         jax.block_until_ready(state)
         wall = _time.perf_counter() - t0
         import numpy as np
 
+        start = int(sdiag.get("start_step", 0))
         it = np.asarray(sdiag["iterations"]).tolist()
         diag = {
             "wall_s": wall, "io_s": 0.0, "steps": len(it),
             "iterations": it, "total_iterations": int(sum(it)),
             "unconverged_steps":
-                [i for i, c in enumerate(np.asarray(sdiag["converged"]))
+                [start + i
+                 for i, c in enumerate(np.asarray(sdiag["converged"]))
                  if not c],
         }
     else:

@@ -474,7 +474,10 @@ class Simulation:
     # ------------------------------------------------------------------
     def run_scan(self, num_steps: Optional[int] = None,
                  initial_state: Optional[SimState] = None,
-                 output_dir: Optional[str] = None):
+                 output_dir: Optional[str] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 0,
+                 resume: bool = False):
         """Run ``num_steps`` timesteps entirely on device as one
         ``lax.scan`` dispatch (no host round-trip per step).
 
@@ -490,15 +493,34 @@ class Simulation:
         fall back to chunked scans: one scan dispatch between consecutive
         output points, one host-visible step at each output.
 
+        ``checkpoint_dir`` + ``checkpoint_every`` enable checkpointing
+        (same files as :meth:`run`); checkpoint runs always take the
+        chunked path, segmented additionally at checkpoint boundaries, so a
+        resumed run replays the identical per-step computation.
+
         Returns (final_state, stacked diagnostics).
         """
         steps = self.steps if num_steps is None else self.steps[:num_steps]
         times = jnp.asarray([t for t, _ in steps],
                             jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        state = initial_state if initial_state is not None else self.init_state()
+        start = 0
+        state = initial_state
+        fingerprint = None
+        if checkpoint_dir is not None:
+            from . import checkpoint as ckpt
+            fingerprint = ckpt.model_fingerprint(self.model)
+            if resume:
+                state, start = self._load_resume(checkpoint_dir, fingerprint)
+        if state is None:
+            state = self.init_state()
 
-        if output_dir is not None and not self._callback_supported():
-            return self._run_scan_chunked(steps, times, state, output_dir)
+        if checkpoint_dir is not None or (
+                output_dir is not None and not self._callback_supported()):
+            return self._run_scan_chunked(
+                steps, times, state, output_dir,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every,
+                fingerprint=fingerprint, start=start)
 
         key = output_dir is not None
         if self._scan_jit.get(key) is None:
@@ -569,14 +591,38 @@ class Simulation:
                       "fall back to chunked scans", file=sys.stderr)
         return self._io_cb_ok
 
-    def _run_scan_chunked(self, steps, times, state, output_dir):
+    def _load_resume(self, checkpoint_dir, fingerprint):
+        """Shared resume: newest checkpoint -> (state, start_index), with
+        warm-start-history normalization to this run's mode."""
+        from . import checkpoint as ckpt
+        path = ckpt.latest_checkpoint(checkpoint_dir)
+        if path is None:
+            return None, 0
+        state, start, _ = ckpt.load_checkpoint(path, fingerprint, self.dtype)
+        # a pre-extrapolation checkpoint seeds prev = x (the first resumed
+        # step starts from the previous solution, then extrapolation takes
+        # over); "previous" mode drops any stored history
+        if self.warm_start == "extrapolate" and state.prev is None:
+            state = state._replace(prev=State(state.A, state.U))
+        if self.warm_start == "previous" and state.prev is not None:
+            state = state._replace(prev=None)
+        return self._shard_state(state), start
+
+    def _run_scan_chunked(self, steps, times, state, output_dir,
+                          checkpoint_dir=None, checkpoint_every=0,
+                          fingerprint=None, start=0):
         """Scan-between-outputs fallback: each inter-output segment is one
         on-device lax.scan dispatch; each output step runs through the
-        host-visible step so write_outputs sees its source cells."""
+        host-visible step so write_outputs sees its source cells.
+        Checkpoint boundaries additionally split the segments (state is
+        host-visible there, so ckpt_<step>.npz files match :meth:`run`'s)."""
         import os
         from ..io import vtk as vtkio
+        from . import checkpoint as ckpt
 
-        os.makedirs(output_dir, exist_ok=True)
+        if output_dir is not None:
+            os.makedirs(output_dir, exist_ok=True)
+        every = checkpoint_every if (checkpoint_dir and checkpoint_every) else 0
 
         def seg(n):
             if n not in self._seg_jit:
@@ -588,25 +634,47 @@ class Simulation:
             return self._seg_jit[n]
 
         iters, relres, conv = [], [], []
-        i = 0
-        for j, (t, out) in enumerate(steps):
-            if out is None:
-                continue
+        i = start
+
+        def flush_to(j):
+            nonlocal i, state
             if j > i:
                 state, (it, rr, cv) = seg(j - i)(state, times[i:j])
                 iters.append(it), relres.append(rr), conv.append(cv)
-            state, info = self._step_jit(state, times[j])
-            vtkio.write_outputs(self, state, info, out, output_dir)
-            iters.append(info.iterations[None])
-            relres.append(info.relres[None])
-            conv.append(info.converged[None])
-            i = j + 1
-        if i < len(steps):
-            state, (it, rr, cv) = seg(len(steps) - i)(state, times[i:])
-            iters.append(it), relres.append(rr), conv.append(cv)
-        cat = lambda xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs])
-        return state, {"iterations": cat(iters), "relres": cat(relres),
-                       "converged": cat(conv)}
+                i = j
+
+        for j in range(start, len(steps)):
+            t, out = steps[j]
+            is_out = out is not None and output_dir is not None
+            is_ck = every and (j + 1) % every == 0
+            if is_out:
+                flush_to(j)
+                state, info = self._step_jit(state, times[j])
+                vtkio.write_outputs(self, state, info, out, output_dir)
+                iters.append(info.iterations[None])
+                relres.append(info.relres[None])
+                conv.append(info.converged[None])
+                i = j + 1
+            elif is_ck:
+                flush_to(j + 1)
+            if is_ck:
+                ckpt.save_checkpoint(
+                    os.path.join(checkpoint_dir, f"ckpt_{j + 1}.npz"),
+                    state, j + 1, out or 0, fingerprint)
+        flush_to(len(steps))
+        if checkpoint_dir is not None and every:
+            ckpt.save_checkpoint(
+                os.path.join(checkpoint_dir, f"ckpt_{len(steps)}.npz"),
+                state, len(steps), steps[-1][1] or 0, fingerprint)
+        def cat(xs, dtype):
+            # resuming at/after the last step leaves nothing to run
+            if not xs:
+                return jnp.zeros((0,), dtype)
+            return jnp.concatenate([jnp.atleast_1d(x) for x in xs])
+        return state, {"iterations": cat(iters, jnp.int32),
+                       "relres": cat(relres, jnp.float32),
+                       "converged": cat(conv, jnp.bool_),
+                       "start_step": start}
 
     # ------------------------------------------------------------------
     def run(
@@ -642,18 +710,7 @@ class Simulation:
         if checkpoint_dir is not None:
             fingerprint = ckpt.model_fingerprint(self.model)
             if resume:
-                path = ckpt.latest_checkpoint(checkpoint_dir)
-                if path is not None:
-                    state, start, _ = ckpt.load_checkpoint(path, fingerprint, self.dtype)
-                    # normalize the warm-start history to this run's mode
-                    # (a pre-extrapolation checkpoint seeds prev = x, i.e.
-                    # the first resumed step starts from the previous
-                    # solution, then extrapolation takes over)
-                    if self.warm_start == "extrapolate" and state.prev is None:
-                        state = state._replace(prev=State(state.A, state.U))
-                    if self.warm_start == "previous" and state.prev is not None:
-                        state = state._replace(prev=None)
-                    state = self._shard_state(state)
+                state, start = self._load_resume(checkpoint_dir, fingerprint)
         if state is None:
             state = self.init_state()
 

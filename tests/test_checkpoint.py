@@ -59,3 +59,62 @@ def test_latest_checkpoint_selection(tmp_path):
     sim = Simulation(model, dtype=jnp.float64)
     sim.run(checkpoint_dir=str(tmp_path), checkpoint_every=1)
     assert ckpt.latest_checkpoint(str(tmp_path)).endswith("ckpt_3.npz")
+
+
+def test_scan_checkpoint_resume_bit_identical(tmp_path):
+    """--scan with checkpointing: an interrupted chunked-scan run resumed
+    from its checkpoint must reproduce the uninterrupted scan run
+    bit-for-bit (round-3 VERDICT item #6)."""
+    import jax.numpy as jnp
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_moving, load_case
+
+    text = case_moving(shape_xyz=(14, 14, 10), steps=8)
+    model = load_case(text)
+    ckdir = str(tmp_path / "ck")
+
+    # uninterrupted scan run (no checkpointing)
+    ref_sim = Simulation(model, dtype=jnp.float32)
+    ref_state, ref_diag = ref_sim.run_scan()
+
+    # interrupted: checkpoint every 3 steps, stop after 5 steps
+    sim1 = Simulation(model, dtype=jnp.float32)
+    sim1.run_scan(num_steps=5, checkpoint_dir=ckdir, checkpoint_every=3)
+    # resume to the end in a fresh Simulation
+    sim2 = Simulation(model, dtype=jnp.float32)
+    state, diag = sim2.run_scan(checkpoint_dir=ckdir, checkpoint_every=3,
+                                resume=True)
+    assert int(diag["start_step"]) == 5
+
+    np.testing.assert_array_equal(np.asarray(state.A), np.asarray(ref_state.A))
+    np.testing.assert_array_equal(np.asarray(state.U), np.asarray(ref_state.U))
+    np.testing.assert_array_equal(np.asarray(state.carry),
+                                  np.asarray(ref_state.carry))
+    np.testing.assert_array_equal(np.asarray(state.motion.distance),
+                                  np.asarray(ref_state.motion.distance))
+    # resumed iteration counts equal the uninterrupted run's tail
+    np.testing.assert_array_equal(np.asarray(diag["iterations"]),
+                                  np.asarray(ref_diag["iterations"])[5:])
+
+
+def test_scan_checkpoint_with_output_matches_run(tmp_path):
+    """Chunked scan with BOTH VTK output and checkpointing produces the
+    same files as the host-loop run."""
+    import jax.numpy as jnp
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    model = load_case(case_static(shape_xyz=(14, 14, 10), steps=6,
+                                  jump=2e-3))
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1, d1 = Simulation(model, dtype=jnp.float32).run(output_dir=out1)
+    s2, d2 = Simulation(model, dtype=jnp.float32).run_scan(
+        output_dir=out2, checkpoint_dir=str(tmp_path / "ck2"),
+        checkpoint_every=4)
+    names = sorted(os.listdir(out1))
+    assert names == sorted(os.listdir(out2)) and names
+    for n in names:
+        with open(os.path.join(out1, n), "rb") as f1, \
+             open(os.path.join(out2, n), "rb") as f2:
+            assert f1.read() == f2.read(), n
+    assert os.path.exists(os.path.join(str(tmp_path / "ck2"), "ckpt_4.npz"))
