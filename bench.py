@@ -39,19 +39,24 @@ BASELINES = {
 }
 
 # production solve configuration per case — the measured winner of the
-# recorded `--mode precond` shoot-out (round 3, 100/200-step transients on
-# TPU v5e).  Delta-form right preconditioning preserves the reference's
-# ||b - A x||/||b|| < tol stopping criterion (solvers/bicgstab.py:
-# bicgstab_wr_right), so this is pure speed: the 250k-cell cases win ~10%
-# with order-8 Chebyshev on the Jacobi-scaled operator (9.4 vs 84.6
-# iters/step at identical total matvec traffic, saving the per-iteration
-# loop overhead); the smaller LIM case converges in ~20 iterations bare and
-# the polynomial's fixed cost loses (none 363x vs cheb8 214x) — so its
-# production config is unpreconditioned.
+# recorded `--mode precond` shoot-out for EVERY workload (round 4,
+# full-transient subprocess runs on TPU v5e with the fused coded kernel;
+# tables in BENCH_ALL_r04.json).  Delta-form right preconditioning
+# preserves the reference's ||b - A x||/||b|| < tol stopping criterion
+# (solvers/bicgstab.py: bicgstab_wr_right), so this is pure speed.  The
+# optimum is workload-dependent and was measured, not extrapolated: the
+# static TEAM7 case wins with order-8 Chebyshev-on-Jacobi (9.4 vs 84.6
+# iters/step), while the moving-coil case — whose per-step source scatter
+# rebuilds the RHS — wins with plain Jacobi (4.68 vs 5.78 ms/step for
+# cheb8 despite 6x the iterations), and LIM (124k cells) also takes plain
+# Jacobi (polynomial fixed cost loses at small grids).
 BEST_CONFIG = {
-    "team7": {"precond": "cheb_jacobi", "cheb_order": 8},
-    "move": {"precond": "cheb_jacobi", "cheb_order": 8},
+    "team7": {"precond": "cheb"},
+    "move": {"precond": "jacobi"},
     "lim": {"precond": "jacobi"},
+    # the 256^3-class synthetic scale case (--mode scale256); measured by
+    # `--mode precond --case scale256` (subprocess shoot-out, 10 steps)
+    "scale256": {"precond": "cheb_jacobi", "cheb_order": 8},
 }
 
 
@@ -345,9 +350,7 @@ def run_precond1(args) -> int:
     import numpy as np
     from eddy_currents_3d_tpu.sim.simulate import Simulation
 
-    base_total, base_steps, path = BASELINES[args.case]
-    model = _load(path, (102, 102, 24), base_steps)
-    n_steps = args.steps or base_steps
+    model, n_steps, base_per_step = _precond_case(args)
     name = args.precond or "none"
     kw = {}
     if name == "cheb_jacobi8":          # higher-order Chebyshev candidate
@@ -365,11 +368,25 @@ def run_precond1(args) -> int:
     iters = np.asarray(diag["iterations"])
     return _emit(
         f"{args.case}_precond_{name}", wall / n_steps, "s/step",
-        (base_total / base_steps) / (wall / n_steps),
+        (base_per_step / (wall / n_steps)) if base_per_step else 0.0,
         iters_mean=round(float(iters.mean()), 1),
         converged=bool(np.asarray(diag["converged"]).all()),
         steps=n_steps,
     )
+
+
+def _precond_case(args):
+    """(model, n_steps, reference s/step or None) for a shoot-out case —
+    the three reference workloads plus the synthetic scale256 class."""
+    if args.case == "scale256":
+        from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+        n_steps = args.steps or 10
+        shape = tuple(int(v) for v in args.shape.split(","))
+        return (load_case(case_static(shape_xyz=shape, steps=n_steps)),
+                n_steps, None)
+    base_total, base_steps, path = BASELINES[args.case]
+    model = _load(path, (102, 102, 24), base_steps)
+    return model, args.steps or base_steps, base_total / base_steps
 
 
 def run_precond(args) -> int:
@@ -379,7 +396,10 @@ def run_precond(args) -> int:
     (solvers.f90)."""
     import subprocess
 
-    base_total, base_steps, _ = BASELINES[args.case]
+    if args.case == "scale256":
+        base_total, base_steps = None, args.steps or 10
+    else:
+        base_total, base_steps, _ = BASELINES[args.case]
     table = {}
     for name in ("none", "jacobi", "cheb", "cheb_jacobi", "cheb_jacobi8",
                  "mg", "ilu0"):
@@ -387,6 +407,8 @@ def run_precond(args) -> int:
                "--case", args.case, "--precond", name]
         if args.steps:
             cmd += ["--steps", str(args.steps)]
+        if args.case == "scale256":
+            cmd += ["--shape", args.shape]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         out = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
         if r.returncode or not out:
@@ -403,7 +425,8 @@ def run_precond(args) -> int:
     best = min(ok, key=lambda k: ok[k]["s_per_step"])
     return _emit(
         f"{args.case}_precond_best", ok[best]["s_per_step"], "s/step",
-        (base_total / base_steps) / ok[best]["s_per_step"],
+        ((base_total / base_steps) / ok[best]["s_per_step"]
+         if base_total else 0.0),
         best=best, table=table, steps=args.steps or base_steps,
     )
 
@@ -426,6 +449,8 @@ def run_all(args) -> int:
         ["--mode", "shardmv", "--devices", "8"],
         ["--mode", "precond", "--case", "team7"],
         ["--mode", "precond", "--case", "lim"],
+        ["--mode", "precond", "--case", "move"],
+        ["--mode", "precond", "--case", "scale256", "--steps", "10"],
     ]
     lines = []
     fail = 0
@@ -458,7 +483,8 @@ def run_scale256(args) -> int:
 
     shape = tuple(int(v) for v in args.shape.split(","))
     model = load_case(case_static(shape_xyz=shape, steps=3))
-    sim = Simulation(model, dtype=jnp.float32)
+    # production solve config, from the recorded scale256 shoot-out
+    sim = Simulation(model, dtype=jnp.float32, **BEST_CONFIG["scale256"])
     nnz = (3 * np.count_nonzero(sim.system.np_ka)
            + np.count_nonzero(sim.system.np_gu)
            + np.count_nonzero(sim.system.np_ku)
@@ -485,7 +511,10 @@ def run_scale256(args) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--case", default="team7", choices=sorted(BASELINES))
+    ap.add_argument("--case", default="team7",
+                    choices=sorted(BASELINES) + ["scale256"],
+                    help="reference workload; 'scale256' (synthetic scale "
+                    "class) is valid for the precond modes only")
     ap.add_argument("--steps", type=int, default=None, help="limit step count")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")

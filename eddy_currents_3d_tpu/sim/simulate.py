@@ -295,7 +295,32 @@ class Simulation:
         else:
             self._shard_state = lambda s: s
 
-        self._step_jit = jax.jit(self._step, donate_argnums=(0,) if donate else ())
+        # Every device array the jitted step reads is passed as an explicit
+        # argument pytree, never a closure capture: JAX inlines captured
+        # arrays into the lowered module as dense literals, so a 4M-cell
+        # operator closed over by the step made multi-hundred-MB compile
+        # payloads (the remote-compile tunnel rejects them with HTTP 413)
+        # and bloated compile time.  Passing them as arguments is the
+        # standard params-pytree idiom and keeps modules array-free.  The
+        # explicit shard tier is the exception (not a pytree; its arrays
+        # stay closure-captured as before).
+        self._params = {
+            "cond": self.system.cond_mask,
+            "inert": self.system.inert,
+            "bnd_a": self.system.bnd_a,
+            "bnd_u_any": self.system.bnd_u_any,
+            "op": self.system.op,
+            "pad_op": (self.coded_op if self.coded_op is not None
+                       else self.pallas_op),
+            "jac": ((self._jac_d, self._jac_inv)
+                    if precond in ("jacobi", "cheb_jacobi") else None),
+            "ilu": self._ilu if precond == "ilu0" else None,
+            "mg": self._mg if precond == "mg" else None,
+            "cells": tuple(cells for _, _, cells, _ in self._funs),
+        }
+        self._step_pjit = jax.jit(self._step_p,
+                                  donate_argnums=(1,) if donate else ())
+        self._step_jit = lambda state, t: self._step_pjit(self._params, state, t)
         self._scan_jit = {}   # built lazily by run_scan (keyed on output on/off)
         self._seg_jit = {}    # chunked-scan segments, keyed on length
         self._io_cb_ok = None  # lazily probed: backend supports io_callback?
@@ -316,10 +341,16 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def _step(self, state: SimState, t) -> tuple[SimState, StepInfo]:
-        model, sysm = self.model, self.system
-        op = sysm.op
-        cond = sysm.cond_mask
-        inert = sysm.inert
+        """Convenience eager/traceable form of the step (tests, entry
+        points); the jitted paths call :meth:`_step_p` with the params
+        pytree as an explicit argument."""
+        return self._step_p(self._params, state, t)
+
+    def _step_p(self, params, state: SimState, t) -> tuple[SimState, StepInfo]:
+        model = self.model
+        op = params["op"]
+        cond = params["cond"]
+        inert = params["inert"]
         dt = float(model.tran.step)
 
         # motion-velocity functions at time t (EC3D.f90:260-271)
@@ -337,7 +368,7 @@ class Simulation:
             movestop = motion.movestop
             dist_rows = []
             comp_rows = []
-            for comp, fn, cells, fm in self._funs:
+            for (comp, fn, _, fm), cells in zip(self._funs, params["cells"]):
                 drow, crow, movestop, flat = advance_function(
                     fm, motion.distance[fm.index], motion.comp[fm.index],
                     movestop, vmech_vals, dt, model.delta
@@ -352,7 +383,7 @@ class Simulation:
                                  movestop=movestop,
                                  comp=jnp.stack(comp_rows))
         else:
-            for comp, fn, cells, fm in self._funs:
+            for (comp, fn, _, fm), cells in zip(self._funs, params["cells"]):
                 val = jnp.asarray(fn(t), self.dtype)
                 base = base.at[comp, cells].set(val)
                 src_cells.append(cells)
@@ -363,12 +394,12 @@ class Simulation:
         if self.shard_op is not None:
             div_op = self.shard_op
         elif self.coded_op is not None:
-            div_op = self.coded_op
+            div_op = params["pad_op"]
         else:
             div_op = op
         rhs_U = div_op.apply_div(state.A)
-        rhs_A = jnp.where(sysm.bnd_a, 0.0, rhs_A)
-        rhs_U = jnp.where(sysm.bnd_u_any, 0.0, rhs_U)
+        rhs_A = jnp.where(params["bnd_a"], 0.0, rhs_A)
+        rhs_U = jnp.where(params["bnd_u_any"], 0.0, rhs_U)
 
         # ---- solve (EC3D.f90:408) ----
         b = State(rhs_A, rhs_U)
@@ -381,10 +412,8 @@ class Simulation:
         tol = jnp.asarray(model.solver.tolerance, self.dtype)
         if self.shard_op is not None:
             pad_op = self.shard_op
-        elif self.coded_op is not None:
-            pad_op = self.coded_op
         else:
-            pad_op = self.pallas_op
+            pad_op = params["pad_op"]
         if pad_op is not None:
             apply_fn, bb, xx0 = (
                 pad_op.apply,
@@ -403,7 +432,7 @@ class Simulation:
             )
             sol_x = res.x
         elif self.precond in ("jacobi", "cheb_jacobi"):
-            d, inv = self._jac_d, self._jac_inv
+            d, inv = params["jac"]
             mul = lambda a, v: State(a.A * v.A, a.U * v.U)
             scaled = lambda v: apply_fn(mul(inv, v))
             if self.precond == "cheb_jacobi":
@@ -423,20 +452,21 @@ class Simulation:
         elif self.precond == "mg":
             from ..solvers.bicgstab import bicgstab_wr_right
             res = bicgstab_wr_right(
-                apply_fn, self._mg.apply, bb, xx0, tol, model.solver.itmax,
+                apply_fn, params["mg"].apply, bb, xx0, tol, model.solver.itmax,
                 dot_dtype=self.dot_dtype,
             )
             sol_x = res.x
         elif self.precond == "ilu0":
             from ..solvers.bicgstab import bicgstab_wr_right
 
-            if self._ilu.padded:
+            ilu = params["ilu"]
+            if ilu.padded:
                 # factors live in the solver's padded space: direct apply
-                minv = lambda v: self._ilu.apply(v, sweeps=self.ilu_sweeps)
+                minv = lambda v: ilu.apply(v, sweeps=self.ilu_sweeps)
             else:
                 def minv(v: State) -> State:
                     vv = pad_op.unpad_state(v) if pad_op is not None else v
-                    out = self._ilu.apply(vv, sweeps=self.ilu_sweeps)
+                    out = ilu.apply(vv, sweeps=self.ilu_sweeps)
                     return pad_op.pad_state(out) if pad_op is not None else out
 
             res = bicgstab_wr_right(
@@ -454,8 +484,8 @@ class Simulation:
 
         # ---- post-solve inertial carry + surface zeroing (EC3D.f90:412-432)
         carry = jnp.where(cond[None], inert[None] * A_new - rhs_A, rhs_A)
-        carry = jnp.where(sysm.bnd_a, 0.0, carry)
-        A_out = jnp.where(sysm.bnd_a, 0.0, A_new)
+        carry = jnp.where(params["bnd_a"], 0.0, carry)
+        A_out = jnp.where(params["bnd_a"], 0.0, A_new)
 
         new_state = SimState(
             A=A_out, U=U_new, carry=carry, motion=motion,
@@ -525,8 +555,8 @@ class Simulation:
         key = output_dir is not None
         if self._scan_jit.get(key) is None:
             if output_dir is None:
-                def body(st, inp):
-                    new_st, info = self._step(st, inp[0])
+                def body(params, st, inp):
+                    new_st, info = self._step_p(params, st, inp[0])
                     return new_st, (info.iterations, info.relres, info.converged)
             else:
                 from types import SimpleNamespace
@@ -543,9 +573,9 @@ class Simulation:
                     vtkio.write_outputs(self, st_like, info_like,
                                         int(npoint), self._scan_outdir)
 
-                def body(st, inp):
+                def body(params, st, inp):
                     t, npoint = inp
-                    new_st, info = self._step(st, t)
+                    new_st, info = self._step_p(params, st, t)
                     args = (npoint, new_st.A, new_st.carry,
                             *info.src_cells, *info.src_values)
                     jax.lax.cond(
@@ -555,8 +585,12 @@ class Simulation:
                         *args)
                     return new_st, (info.iterations, info.relres, info.converged)
 
+            # params enters the jitted scan as an argument; the scan
+            # body closes over its *tracer*, which lowers as shared values
+            # rather than inlined literals (see __init__)
             self._scan_jit[key] = jax.jit(
-                lambda st, ts, outs: jax.lax.scan(body, st, (ts, outs)))
+                lambda params, st, ts, outs: jax.lax.scan(
+                    lambda c, inp: body(params, c, inp), st, (ts, outs)))
 
         if output_dir is not None:
             import os
@@ -564,7 +598,8 @@ class Simulation:
             os.makedirs(output_dir, exist_ok=True)
         out_points = jnp.asarray([o if o is not None else 0 for _, o in steps],
                                  jnp.int32)
-        final, (iters, relres, conv) = self._scan_jit[key](state, times, out_points)
+        final, (iters, relres, conv) = self._scan_jit[key](
+            self._params, state, times, out_points)
         if output_dir is not None:
             jax.effects_barrier()   # all streamed writes landed
         return final, {"iterations": iters, "relres": relres,
@@ -626,12 +661,13 @@ class Simulation:
 
         def seg(n):
             if n not in self._seg_jit:
-                def body(st, t):
-                    new_st, info = self._step(st, t)
+                def body(params, st, t):
+                    new_st, info = self._step_p(params, st, t)
                     return new_st, (info.iterations, info.relres, info.converged)
                 self._seg_jit[n] = jax.jit(
-                    lambda st, ts: jax.lax.scan(body, st, ts))
-            return self._seg_jit[n]
+                    lambda params, st, ts: jax.lax.scan(
+                        lambda c, tt: body(params, c, tt), st, ts))
+            return lambda st, ts: self._seg_jit[n](self._params, st, ts)
 
         iters, relres, conv = [], [], []
         i = start
