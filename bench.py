@@ -40,23 +40,30 @@ BASELINES = {
 
 # production solve configuration per case — the measured winner of the
 # recorded `--mode precond` shoot-out for EVERY workload (round 4,
-# full-transient subprocess runs on TPU v5e with the fused coded kernel;
-# tables in BENCH_ALL_r04.json).  Delta-form right preconditioning
-# preserves the reference's ||b - A x||/||b|| < tol stopping criterion
-# (solvers/bicgstab.py: bicgstab_wr_right), so this is pure speed.  The
-# optimum is workload-dependent and was measured, not extrapolated: the
-# static TEAM7 case wins with order-8 Chebyshev-on-Jacobi (9.4 vs 84.6
-# iters/step), while the moving-coil case — whose per-step source scatter
-# rebuilds the RHS — wins with plain Jacobi (4.68 vs 5.78 ms/step for
-# cheb8 despite 6x the iterations), and LIM (124k cells) also takes plain
-# Jacobi (polynomial fixed cost loses at small grids).
+# full-transient subprocess runs on TPU v5e with the conductor-gated
+# fused coded kernel; tables in BENCH_ALL_r04.json).  Delta-form right
+# preconditioning preserves the reference's ||b - A x||/||b|| < tol
+# stopping criterion (solvers/bicgstab.py: bicgstab_wr_right), so this is
+# pure speed.  The optimum is workload-dependent AND kernel-cost-
+# dependent — it was measured, not extrapolated, and it moved twice this
+# round as the matvec got cheaper: with the 12.8-us gated matvec the
+# 250k-cell transients win with order-8 Chebyshev-on-Jacobi (team7
+# 3.60 ms/step at 9.4 iters, move 3.77 ms at 9.2), LIM (124k cells)
+# keeps plain Jacobi (1.46 ms; the polynomial's fixed per-apply vector
+# work loses at small grids), and scale256 stays unpreconditioned.
 BEST_CONFIG = {
-    "team7": {"precond": "cheb"},
-    "move": {"precond": "jacobi"},
+    "team7": {"precond": "cheb_jacobi", "cheb_order": 8},
+    "move": {"precond": "cheb_jacobi", "cheb_order": 8},
     "lim": {"precond": "jacobi"},
-    # the 256^3-class synthetic scale case (--mode scale256); measured by
-    # `--mode precond --case scale256` (subprocess shoot-out, 10 steps)
-    "scale256": {"precond": "cheb_jacobi", "cheb_order": 8},
+    # the 256^3-class synthetic scale case (--mode scale256), measured by
+    # `--mode precond --case scale256` (subprocess shoot-out, 10 steps):
+    # UNPRECONDITIONED wins (78.9 ms/step vs jacobi 84.5, ilu0 85.6, cheb
+    # 94.0, cheb8 144.6).  At 4.2M cells the field-kernel matvec dominates
+    # the step, so polynomial preconditioning's extra operator applies are
+    # pure loss even though cheb8 cuts iterations 29.8 -> 6.0 — the
+    # opposite of the 250k-cell cases, where per-iteration loop overhead
+    # is the thing being amortized.
+    "scale256": {},
 }
 
 

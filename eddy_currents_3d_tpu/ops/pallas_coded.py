@@ -46,7 +46,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -226,6 +225,8 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
 
     if op.box is None:
         raise CodedUnsupported("no conducting cells; use the field kernels")
+    zz = np.nonzero(model.cond_mask)[0]
+    cond_z = (int(zz.min()), int(zz.max()) + 1)
     NYp, NXp = ps._pad_to(ny, _SUB), ps._pad_to(nx, _LANE)
 
     def full_pad(arr, fdtype):
@@ -249,6 +250,7 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
                 else jnp.zeros((3, 0, 0, 0), dtype)),
         shape_zyx=(nz, ny, nx),
         padded_yx=(NYp, NXp),
+        cond_z=cond_z,
         consts=(tuple(float(v) for v in s), tuple(float(v) for v in ds),
                 dt, tuple(float(d) for d in model.delta),
                 tuple(tuple(float(v) for v in row)
@@ -270,8 +272,8 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
 _CHUNK_BUDGET = 2_000_000
 
 
-def _fused_kernel_chunk(nx, ny, nz, CZ, consts, inertia_on_faces, has_conv,
-                        *refs):
+def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
+                        has_conv, *refs):
     """The whole matvec in one z-chunked pass: the constant+face A stencil
     AND the case-coded conductor work (grad-U, inertia, convection into the
     A rows; the U row) on full (NYp, NXp) planes.  Each grid step computes
@@ -332,42 +334,59 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, consts, inertia_on_faces, has_conv,
           + cym * ps._roll(a0, 1, 2) + cyp * ps._roll(a0, -1, 2)
           + czm[None] * azm + czp[None] * azp)
 
-    um1 = jnp.where(gz - 1 < 0, c(0.0),
-                    jnp.concatenate([um1_ref[:], u0], axis=0)[:CZ])
-    um2 = jnp.where(gz - 2 < 0, c(0.0),
-                    jnp.concatenate([um2_ref[:], um1_ref[:], u0],
-                                    axis=0)[:CZ])
-    up1 = jnp.where(gz + 1 > nz - 1, c(0.0),
-                    jnp.concatenate([u0, up1_ref[:]], axis=0)[1:CZ + 1])
-    up2 = jnp.where(gz + 2 > nz - 1, c(0.0),
-                    jnp.concatenate([u0, up1_ref[:], up2_ref[:]],
-                                    axis=0)[2:CZ + 2])
-    un = {
-        (0, -1): ps._roll(u0, 1, 2), (0, +1): ps._roll(u0, -1, 2),
-        (0, -2): ps._roll(u0, 2, 2), (0, +2): ps._roll(u0, -2, 2),
-        (1, -1): ps._roll(u0, 1, 1), (1, +1): ps._roll(u0, -1, 1),
-        (1, -2): ps._roll(u0, 2, 1), (1, +2): ps._roll(u0, -2, 1),
-        (2, -1): um1, (2, +1): up1,
-        (2, -2): um2, (2, +2): up2,
-    }
-    # A neighbor pairs (comp, axis): x/y in-VMEM rolls, z from the stitched
-    # (already value-guarded) planes; array axis for grid axis a is 2 - a
-    pairs = ([(cc, a) for cc in range(3) for a in range(3)] if has_conv
-             else [(0, 0), (1, 1), (2, 2)])
-    aan = {}
-    for cc, a in pairs:
-        if a == 2:
-            aan[(cc, 2)] = (azm[cc], azp[cc])
-        else:
-            aan[(cc, a)] = (ps._roll(a0[cc], 1, 3 - a - 1),
-                            ps._roll(a0[cc], -1, 3 - a - 1))
-    conv = conv_ref[:] if has_conv else None
-    gout, yu = _u_body(consts, inertia_on_faces, has_conv,
-                       code_ref[:], cf_ref[:], conv, u0, un, a0, aan)
-    yA = yA + jnp.stack(gout)
     valid = (col < nx) & (row < ny)
-    yA_ref[:] = jnp.where(valid[None, None], yA, c(0.0))
-    yU_ref[:] = jnp.where(valid[None], yu, c(0.0))
+    # conductor z-gating: all U-ladder outputs (gout, yu) are identically
+    # zero on non-conducting planes, so chunks that do not intersect the
+    # conductor's z-extent [zb0, zb1) skip the whole decode/ladder compute
+    # (pure VPU savings — the z-thin-conductor cases are arithmetic-bound
+    # on small planes; LIM regressed 13 -> 30 us/matvec without this).
+    # Block DMAs still happen either way; traffic is unchanged.
+    zb0, zb1 = cond_z
+    inbox = (k * CZ < zb1) & ((k + 1) * CZ > zb0)
+
+    @pl.when(inbox)
+    def _conductor_chunk():
+        um1 = jnp.where(gz - 1 < 0, c(0.0),
+                        jnp.concatenate([um1_ref[:], u0], axis=0)[:CZ])
+        um2 = jnp.where(gz - 2 < 0, c(0.0),
+                        jnp.concatenate([um2_ref[:], um1_ref[:], u0],
+                                        axis=0)[:CZ])
+        up1 = jnp.where(gz + 1 > nz - 1, c(0.0),
+                        jnp.concatenate([u0, up1_ref[:]], axis=0)[1:CZ + 1])
+        up2 = jnp.where(gz + 2 > nz - 1, c(0.0),
+                        jnp.concatenate([u0, up1_ref[:], up2_ref[:]],
+                                        axis=0)[2:CZ + 2])
+        un = {
+            (0, -1): ps._roll(u0, 1, 2), (0, +1): ps._roll(u0, -1, 2),
+            (0, -2): ps._roll(u0, 2, 2), (0, +2): ps._roll(u0, -2, 2),
+            (1, -1): ps._roll(u0, 1, 1), (1, +1): ps._roll(u0, -1, 1),
+            (1, -2): ps._roll(u0, 2, 1), (1, +2): ps._roll(u0, -2, 1),
+            (2, -1): um1, (2, +1): up1,
+            (2, -2): um2, (2, +2): up2,
+        }
+        # A neighbor pairs (comp, axis): x/y in-VMEM rolls, z from the
+        # stitched (already value-guarded) planes; array axis for grid
+        # axis a is 2 - a
+        pairs = ([(cc, a) for cc in range(3) for a in range(3)] if has_conv
+                 else [(0, 0), (1, 1), (2, 2)])
+        aan = {}
+        for cc, a in pairs:
+            if a == 2:
+                aan[(cc, 2)] = (azm[cc], azp[cc])
+            else:
+                aan[(cc, a)] = (ps._roll(a0[cc], 1, 3 - a - 1),
+                                ps._roll(a0[cc], -1, 3 - a - 1))
+        conv = conv_ref[:] if has_conv else None
+        gout, yu = _u_body(consts, inertia_on_faces, has_conv,
+                           code_ref[:], cf_ref[:], conv, u0, un, a0, aan)
+        yA_ref[:] = jnp.where(valid[None, None],
+                              yA + jnp.stack(gout), c(0.0))
+        yU_ref[:] = jnp.where(valid[None], yu, c(0.0))
+
+    @pl.when(jnp.logical_not(inbox))
+    def _air_chunk():
+        yA_ref[:] = jnp.where(valid[None, None], yA, c(0.0))
+        yU_ref[:] = jnp.zeros_like(yU_ref)
 
 
 def _apply_fused(coded, A_p, U_p, CZ: int = 0):
@@ -415,8 +434,8 @@ def _apply_fused(coded, A_p, U_p, CZ: int = 0):
         in_specs.append(a_chunk)
         args.append(coded.conv_p)
     return pl.pallas_call(
-        partial(_fused_kernel_chunk, nx, ny, nz, CZ, coded.consts,
-                coded.inertia_on_faces, coded.has_conv),
+        partial(_fused_kernel_chunk, nx, ny, nz, CZ, coded.cond_z,
+                coded.consts, coded.inertia_on_faces, coded.has_conv),
         grid=(nk,),
         in_specs=in_specs,
         out_specs=(a_chunk, u_chunk),
@@ -514,6 +533,8 @@ class CodedStencilOperator:
     conv_p: jax.Array               # (3, nz, NYp, NXp) or (3,0,0,0)
     shape_zyx: tuple = dc_field(metadata=dict(static=True))
     padded_yx: tuple = dc_field(metadata=dict(static=True))
+    # conductor z-extent [zb0, zb1): chunks outside it skip the U ladder
+    cond_z: tuple = dc_field(metadata=dict(static=True), default=(0, 0))
     consts: tuple = dc_field(metadata=dict(static=True), default=())
     inertia_on_faces: bool = dc_field(metadata=dict(static=True), default=False)
     has_conv: bool = dc_field(metadata=dict(static=True), default=False)
