@@ -46,14 +46,15 @@ BASELINES = {
 # stopping criterion (solvers/bicgstab.py: bicgstab_wr_right), so this is
 # pure speed.  The optimum is workload-dependent AND kernel-cost-
 # dependent — it was measured, not extrapolated, and it moved twice this
-# round as the matvec got cheaper: with the 12.8-us gated matvec the
-# 250k-cell transients win with order-8 Chebyshev-on-Jacobi (team7
-# 3.60 ms/step at 9.4 iters, move 3.77 ms at 9.2), LIM (124k cells)
-# keeps plain Jacobi (1.46 ms; the polynomial's fixed per-apply vector
-# work loses at small grids), and scale256 stays unpreconditioned.
+# round as the matvec got cheaper: with the 12.8-us gated matvec team7
+# wins with order-8 Chebyshev-on-Jacobi (3.52 ms/step at 9.4 iters,
+# 1038x), move's recorded winner is plain Jacobi (3.67 ms at 56.7 iters,
+# 805x; cheb8 ties within 1% run-to-run), LIM keeps plain Jacobi
+# (1.38 ms, 380x; the polynomial's fixed per-apply vector work loses at
+# small grids), and scale256 stays unpreconditioned.
 BEST_CONFIG = {
     "team7": {"precond": "cheb_jacobi", "cheb_order": 8},
-    "move": {"precond": "cheb_jacobi", "cheb_order": 8},
+    "move": {"precond": "jacobi"},
     "lim": {"precond": "jacobi"},
     # the 256^3-class synthetic scale case (--mode scale256), measured by
     # `--mode precond --case scale256` (subprocess shoot-out, 10 steps):
@@ -489,31 +490,30 @@ def run_scale256(args) -> int:
     from eddy_currents_3d_tpu.testing.cases import case_static, load_case
 
     shape = tuple(int(v) for v in args.shape.split(","))
-    model = load_case(case_static(shape_xyz=shape, steps=3))
+    n_steps = args.steps or 10
+    model = load_case(case_static(shape_xyz=shape, steps=n_steps))
     # production solve config, from the recorded scale256 shoot-out
     sim = Simulation(model, dtype=jnp.float32, **BEST_CONFIG["scale256"])
     nnz = (3 * np.count_nonzero(sim.system.np_ka)
            + np.count_nonzero(sim.system.np_gu)
            + np.count_nonzero(sim.system.np_ku)
            + np.count_nonzero(sim.system.np_da))
-    state = sim.init_state()
-    # 4 warm-up steps: the early transient needs far more iterations than
-    # steady state (and the extrapolated warm start only engages from the
-    # third step), so the timed pair reflects production steps
-    for i in range(4):
-        state, _ = sim._step_jit(state, i * 1e-3)
-    _force(state.A)
-    iters = 0
+    # scan protocol (one on-device dispatch), same as the shoot-out: a
+    # host loop pays a per-step dispatch+readback over the TPU tunnel
+    # that dominates at this step cost (~40 ms/step measured)
+    warm, _ = sim.run_scan(num_steps=n_steps)
+    _force(warm.A)
+    del warm
     t0 = time.perf_counter()
-    for t in (4e-3, 5e-3):
-        state, info = sim._step_jit(state, t)
-        iters += int(info.iterations)
+    state, diag = sim.run_scan(num_steps=n_steps)
     _force(state.A)
-    per_step = (time.perf_counter() - t0) / 2
+    per_step = (time.perf_counter() - t0) / n_steps
+    iters = float(np.asarray(diag["iterations"]).mean())
     cells = shape[0] * shape[1] * shape[2]
     return _emit("scale256_time_per_step", per_step, "s/step",
-                 nnz * (iters / 2) * 2 / per_step / 1e6,  # solver Mnnz/s
-                 cells=cells, nnz=int(nnz), iters_per_step=iters / 2)
+                 nnz * iters / per_step / 1e6,  # solver Mnnz/s
+                 cells=cells, nnz=int(nnz), iters_per_step=iters,
+                 steps=n_steps)
 
 
 def main() -> int:
