@@ -218,9 +218,11 @@ def run_roofline(args) -> int:
     t_triad = diffed(triad_of(2 * R), triad_of(R), R, x, y)
     stream_bw = 3 * big * 4 / t_triad            # bytes/s, measured roofline
 
-    # bytes_mv is the *minimum possible* traffic (each operand exactly once),
-    # so pct is a lower bound on pipeline efficiency; >100% means the fused
-    # kernel streams better than the reference triad loop does.
+    # bytes_mv assumes each operand streams exactly once over the FULL
+    # padded grid, so pct is a lower bound on pipeline efficiency.  The
+    # conductor-gated coded kernel can exceed 100%: chunks outside the
+    # conductor's z-extent skip their predicated U/code/cf reads entirely,
+    # so its true traffic is below the full-grid assumption.
     achieved_bw = bytes_mv / t_mv
     pct = 100.0 * achieved_bw / stream_bw
     tag = "_bf16" if args.coeff_dtype == "bf16" else ""
