@@ -548,6 +548,11 @@ def main() -> int:
                     help="--mode precond1: which preconditioner to time")
     args = ap.parse_args()
 
+    if args.case == "scale256" and args.mode not in ("precond", "precond1"):
+        print(json.dumps({"error": "--case scale256 is valid for the "
+                          "precond modes only; use --mode scale256 for its "
+                          "e2e timing"}))
+        return 2
     if args.mode == "all":
         return run_all(args)
     if args.mode == "precond":

@@ -90,6 +90,14 @@ def main(argv=None) -> int:
               "(the reference reads in.vxc from the working directory)",
               file=sys.stderr)
         return 2
+    if args.resume and not args.checkpoint_dir:
+        print("error: --resume requires --checkpoint-dir", file=sys.stderr)
+        return 2
+    if args.checkpoint_dir and not args.checkpoint_every and not args.resume:
+        print("error: --checkpoint-dir without --checkpoint-every writes no "
+              "checkpoints; pass --checkpoint-every N (or --resume to "
+              "continue from an existing run)", file=sys.stderr)
+        return 2
 
     if args.dtype in ("f64", "float64"):
         import jax

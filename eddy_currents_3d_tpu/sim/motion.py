@@ -91,16 +91,27 @@ def advance_function(
     for a in range(3):
         vi = fm.vmech_index[a]
         if vi == 0:
-            # constant velocity: gated by the X latch (reference quirk)
-            term = movestop[0].astype(distance_row.dtype) * jnp.asarray(
-                fm.const_shift[a], distance_row.dtype)
+            # constant velocity: gated by the X latch (reference quirk).
+            # While latched off, the reference's Distance += 0*shift
+            # freezes the accumulator bit-exactly — so the Kahan update
+            # (which would fold the pending compensation into distance
+            # even for a zero term) is skipped entirely, not fed zero.
+            gate = movestop[0] > 0
+            term = jnp.asarray(fm.const_shift[a], distance_row.dtype)
         else:
+            # function-driven axes accumulate every step (latch ignored,
+            # EC3D.f90:1057-1059)
+            gate = None
             term = (vmech_vals[vi - 1] * (dt / float(delta[a]))
                     ).astype(distance_row.dtype)
         y = term - comp_row[a]
         t = distance_row[a] + y
-        comps.append((t - distance_row[a]) - y)
+        c = (t - distance_row[a]) - y
+        if gate is not None:
+            t = jnp.where(gate, t, distance_row[a])
+            c = jnp.where(gate, c, comp_row[a])
         parts.append(t)
+        comps.append(c)
     new_dist = jnp.stack(parts)
     new_comp = jnp.stack(comps)
     length = _anint(new_dist)       # (3,)

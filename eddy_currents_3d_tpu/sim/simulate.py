@@ -540,7 +540,9 @@ class Simulation:
             from . import checkpoint as ckpt
             fingerprint = ckpt.model_fingerprint(self.model)
             if resume:
-                state, start = self._load_resume(checkpoint_dir, fingerprint)
+                loaded, start = self._load_resume(checkpoint_dir, fingerprint)
+                if loaded is not None:   # no checkpoint yet: keep
+                    state = loaded       # initial_state (or cold start)
         if state is None:
             state = self.init_state()
 
@@ -698,7 +700,11 @@ class Simulation:
                     os.path.join(checkpoint_dir, f"ckpt_{j + 1}.npz"),
                     state, j + 1, out or 0, fingerprint)
         flush_to(len(steps))
-        if checkpoint_dir is not None and every:
+        # final checkpoint only when steps actually ran this call (an
+        # empty horizon, or resuming past num_steps, must neither crash on
+        # steps[-1] nor write a checkpoint whose step index contradicts
+        # the state it contains)
+        if checkpoint_dir is not None and every and start < len(steps):
             ckpt.save_checkpoint(
                 os.path.join(checkpoint_dir, f"ckpt_{len(steps)}.npz"),
                 state, len(steps), steps[-1][1] or 0, fingerprint)
@@ -746,7 +752,9 @@ class Simulation:
         if checkpoint_dir is not None:
             fingerprint = ckpt.model_fingerprint(self.model)
             if resume:
-                state, start = self._load_resume(checkpoint_dir, fingerprint)
+                loaded, start = self._load_resume(checkpoint_dir, fingerprint)
+                if loaded is not None:   # no checkpoint yet: keep
+                    state = loaded       # initial_state (or cold start)
         if state is None:
             state = self.init_state()
 
@@ -777,7 +785,11 @@ class Simulation:
                 print(">", end="", flush=True)
         jax.block_until_ready(state)
         wall = _time.perf_counter() - t0
-        if checkpoint_dir is not None and checkpoint_every:
+        # final checkpoint only when steps actually ran this call (see
+        # _run_scan_chunked: no crash on an empty horizon, no checkpoint
+        # whose step index contradicts its state)
+        if checkpoint_dir is not None and checkpoint_every \
+                and start < len(steps):
             ckpt.save_checkpoint(
                 os.path.join(checkpoint_dir, f"ckpt_{len(steps)}.npz"),
                 state, len(steps), steps[-1][1] or 0, fingerprint,

@@ -118,3 +118,43 @@ def test_scan_checkpoint_with_output_matches_run(tmp_path):
              open(os.path.join(out2, n), "rb") as f2:
             assert f1.read() == f2.read(), n
     assert os.path.exists(os.path.join(str(tmp_path / "ck2"), "ckpt_4.npz"))
+
+
+def test_resume_without_checkpoint_keeps_initial_state(tmp_path):
+    """resume=True on an empty checkpoint dir must run from the explicit
+    initial_state, not silently restart from zeros (the natural 'start
+    from this state, resume if interrupted' idiom)."""
+    import jax.numpy as jnp
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    model = load_case(case_static(shape_xyz=(14, 12, 10), steps=3))
+    sim = Simulation(model, dtype=jnp.float32, donate=False)
+    warm = sim.init_state()._replace(A=sim.init_state().A + 0.5)
+    ckdir = str(tmp_path / "empty")
+    st, diag = sim.run(num_steps=1, initial_state=warm,
+                       checkpoint_dir=ckdir, checkpoint_every=5, resume=True)
+    ref, _ = Simulation(model, dtype=jnp.float32, donate=False).run(
+        num_steps=1, initial_state=warm)
+    np.testing.assert_array_equal(np.asarray(st.A), np.asarray(ref.A))
+
+
+def test_scan_checkpoint_resume_past_horizon(tmp_path):
+    """Resuming with a horizon at/below the stored step runs zero steps
+    and must neither crash nor write a checkpoint whose step index
+    contradicts the state it contains."""
+    import jax.numpy as jnp
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+    from eddy_currents_3d_tpu.testing.cases import case_static, load_case
+
+    model = load_case(case_static(shape_xyz=(14, 12, 10), steps=8))
+    ckdir = str(tmp_path / "ck")
+    Simulation(model, dtype=jnp.float32).run_scan(
+        num_steps=6, checkpoint_dir=ckdir, checkpoint_every=3)
+    before = sorted(os.listdir(ckdir))
+    sim = Simulation(model, dtype=jnp.float32)
+    state, diag = sim.run_scan(num_steps=4, checkpoint_dir=ckdir,
+                               checkpoint_every=3, resume=True)
+    assert int(diag["start_step"]) == 6
+    assert len(np.asarray(diag["iterations"])) == 0
+    assert sorted(os.listdir(ckdir)) == before   # no lying ckpt_4.npz

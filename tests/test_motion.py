@@ -153,3 +153,34 @@ def test_long_transient_f32_matches_f64_oracle():
     # ...while this transient is long enough that the naive f32 sum has
     # visibly drifted from it (guards that the test has teeth)
     assert abs(float(naive32) - dist64[0]) > abs(float(dist[0]) - dist64[0])
+
+
+def test_latch_freezes_distance_bit_exactly_with_compensation():
+    """While the clamp latch is down, the reference's Distance += 0*shift
+    freezes the accumulator bit-exactly.  The Kahan update must be skipped
+    (not fed a zero term), or the pending compensation would leak into the
+    frozen distance and could flip the nint() voxel shift."""
+    shape = (12, 10, 10)
+    ijk0 = np.array([[5, 4, 4]])
+    # fractional shift accumulates a nonzero f32 compensation; large
+    # enough to hit the +x wall within a few steps (the clamp then holds
+    # the latch down every subsequent step, EC3D.f90:1068-1111)
+    fm = _fm(ijk0, shape, const_shift=(0.7, 0.0, 0.0))
+    dist = jnp.zeros(3, jnp.float32)
+    comp = jnp.zeros(3, jnp.float32)
+    ms = jnp.ones(3, jnp.int32)
+    for _ in range(40):
+        dist, comp, ms, _ = advance_function(fm, dist, comp, ms,
+                                             jnp.zeros(1), 1.0, np.ones(3))
+        if int(ms[0]) == 0:
+            break
+    assert int(ms[0]) == 0                # latched at the wall
+    assert float(comp[0]) != 0.0          # the test needs a live residual
+    frozen = float(dist[0])
+    frozen_comp = float(comp[0])
+    for _ in range(5):
+        dist, comp, ms, _ = advance_function(fm, dist, comp, ms,
+                                             jnp.zeros(1), 1.0, np.ones(3))
+        assert int(ms[0]) == 0            # still clamped at the wall
+        assert float(dist[0]) == frozen   # frozen to the bit
+        assert float(comp[0]) == frozen_comp
