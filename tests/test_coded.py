@@ -188,3 +188,25 @@ def test_use_coded_incompatible_raises():
         Simulation(model, dtype=jnp.float32, use_pallas=False, use_coded=True)
     with pytest.raises(ValueError, match="use_coded=True is incompatible"):
         Simulation(model, dtype=jnp.float64, use_coded=True)
+
+
+def test_conductor_touching_z_face(rng):
+    """Conductor slab starting at the z=0 grid face: exercises the gating
+    lower bound zb0=0, the face-cell (non-intc) code bits, and clamped
+    z-neighbor blocks at the grid edge."""
+    from eddy_currents_3d_tpu.testing.cases import make_vxc_text
+
+    nx, ny, nz = 20, 14, 12
+    geo = np.zeros((nz, ny, nx), np.int64)
+    geo[0:5, 3:ny - 3, 3:nx - 3] = 1          # slab ON the z- face
+    geo[8, 4, 5:nx - 5] = 2                   # one x-directed coil run
+    names = [
+        "plast D=1 C='mu0*35e6'",
+        "coil D=1 SRCx=F",
+        "param tran stop=0.002 step=1e-3",
+        "p2 solver tol=5e-3 itmax=10000 dir=out",
+        "f1 func F=a*cos(p2*f*t) a='100/(dx*dz)' p2='2*pi' f=50 t=t",
+    ]
+    model = load_case(make_vxc_text((nx, ny, nz), 0.004, names, geo.ravel()))
+    coded = _check_case(model, rng)
+    assert coded.cond_z[0] == 0
