@@ -178,7 +178,11 @@ def main(argv=None) -> int:
         start = int(sdiag.get("start_step", 0))
         it = np.asarray(sdiag["iterations"]).tolist()
         diag = {
-            "wall_s": wall, "io_s": 0.0, "steps": len(it),
+            # chunked scan paths report their measured host-io time; the
+            # pure io_callback path streams writes off the host loop and
+            # reports 0.0
+            "wall_s": wall, "io_s": float(sdiag.get("io_s", 0.0)),
+            "steps": len(it),
             "iterations": it, "total_iterations": int(sum(it)),
             "unconverged_steps":
                 [start + i

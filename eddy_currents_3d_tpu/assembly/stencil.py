@@ -87,7 +87,9 @@ class State:
     def axpy(self, a, o):  return State(self.A + a * o.A, self.U + a * o.U)
 
     def dot(self, o) -> jax.Array:
-        return jnp.vdot(self.A, o.A) + jnp.vdot(self.U, o.U)
+        # sum-of-product, not vdot: vdot's ravel forces a full-state
+        # all-gather under GSPMD sharding (see solvers/bicgstab.tree_dot)
+        return jnp.sum(self.A * o.A) + jnp.sum(self.U * o.U)
 
     def norm(self) -> jax.Array:
         return jnp.sqrt(self.dot(self))

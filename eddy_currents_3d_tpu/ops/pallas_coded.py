@@ -18,9 +18,11 @@ So the coded operator streams ONE int32 code field and ONE C field (plus
 optional convection fields when a conductor moves) and computes every
 coefficient in-register from static constants: VPU flops are free next to
 HBM bytes on TPU.  The whole matvec — constant+face A stencil, grad-U,
-inertia, convection, U row — is ONE fused z-chunked kernel over full
-(y, x) planes, so each operand streams exactly once per matvec (the
-A chunk ~(CZ+2)/CZ times) and there is no box slice/update round-trip.
+inertia, convection, U row — is ONE fused z-chunked kernel, over full
+(y, x) planes when they fit VMEM and over y-tiles with pre-extracted
+boundary halo rows at the BASELINE 256³-class plane sizes, so each
+operand streams ~once per matvec (the A chunk ~(CZ+2)/CZ times) and
+there is no box slice/update round-trip.
 Measured effect: see bench roofline (the matvec runs within a few % of
 the pure minimum-traffic streaming bound).
 
@@ -233,16 +235,6 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
         pad = [(0, 0)] * (arr.ndim - 2) + [(0, NYp - ny), (0, NXp - nx)]
         return jnp.asarray(np.pad(arr, pad), fdtype)
 
-    # whole-(y,x)-plane requirement: the fused kernel keeps full planes in
-    # VMEM (the chunk depth CZ adapts separately); a y-tiled coded kernel
-    # is not implemented, so truly huge planes fall back to the (y-tiled)
-    # field kernels.  Live blocks at CZ=1: 10 fixed neighbor planes +
-    # (9 + 3·conv) per chunk plane; Mosaic double-buffers the revolving
-    # blocks and adds scratch (measured ~3x the block footprint on v5e).
-    if (19 + (3 if has_conv else 0)) * NYp * NXp * 4 > 4_500_000:
-        raise CodedUnsupported("plane too large for the coded kernel's "
-                               "whole-plane VMEM layout")
-
     return CodedStencilOperator(
         code_p=full_pad(code, jnp.int32),
         cf_p=full_pad(Cf, dtype),
@@ -270,6 +262,14 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
 # 22.1, CZ=7 -> scoped-VMEM OOM (17.2M > 16M); 2.0e6 picks CZ=4 there
 # while degrading gracefully to CZ=1 near the whole-plane gate
 _CHUNK_BUDGET = 2_000_000
+
+# whole-(y,x)-plane fast path gate: live blocks at CZ=1 are 10 fixed
+# neighbor planes + (9 + 3·conv) per chunk plane; Mosaic double-buffers
+# the revolving blocks and adds scratch (measured ~3x the block footprint
+# on v5e).  Planes past this run the y-tiled kernel variant instead
+# (neighbor y-tiles + _shift_y row stitching, like the field kernels);
+# tests shrink it to force the tiled path on small grids.
+_WHOLE_PLANE_BUDGET = 4_500_000
 
 
 def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
@@ -389,9 +389,237 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
         yU_ref[:] = jnp.zeros_like(yU_ref)
 
 
+def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
+                           inertia_on_faces, has_conv, *refs):
+    """Y-tiled variant of :func:`_fused_kernel_chunk` for grids whose
+    (y, x) planes exceed the whole-plane VMEM budget (the BASELINE
+    256³-class).  Grid is (z-chunk, y-tile); y-shifts cross tile
+    boundaries by stitching the 2 (A) / 4 (U) pre-extracted boundary
+    *rows* of the neighbor tiles — streamed as tiny side arrays rather
+    than whole neighbor blocks, so each operand still moves ~(CZ+2)/CZ
+    times per matvec (streaming the jy±1 blocks instead measured the
+    matvec at ~0.9x the field kernels; halo rows take it to ~2x).  Face
+    masks use the *global* row index.  Halo rows at jy = 0 / jy = nyt−1
+    are zero-filled, matching the whole-plane kernel's invariants (zero
+    closed-form face coefficients for the A stencil, code = 0 in the
+    conductor box's ≥2-cell halo and in padding for the U ladder)."""
+    if has_conv:
+        (am_ref, ap_ref, ha_ref, a0_ref,
+         um2_ref, um1_ref, up1_ref, up2_ref, hu_ref, u0_ref,
+         code_ref, cf_ref, conv_ref, yA_ref, yU_ref) = refs
+    else:
+        (am_ref, ap_ref, ha_ref, a0_ref,
+         um2_ref, um1_ref, up1_ref, up2_ref, hu_ref, u0_ref,
+         code_ref, cf_ref, yA_ref, yU_ref) = refs
+        conv_ref = None
+    s, ds, dt, delta, BND = consts
+    a0 = a0_ref[:]                        # (3, CZ, TY, NXp)
+    u0 = u0_ref[:]                        # (CZ, TY, NXp)
+    dt_ = a0.dtype
+    c = lambda v: jnp.asarray(v, dt_)
+    sx, sy, sz = s
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    row = (j * TY
+           + jax.lax.broadcasted_iota(jnp.int32, a0.shape[2:], 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, a0.shape[2:], 1)
+    fxm, fxp = col == 0, col == nx - 1
+    fym, fyp = row == 0, row == ny - 1
+
+    cxm = jnp.where(fxm, c(0.0), jnp.where(fxp, c(BND[0][0] * sx), c(-sx)))
+    cxp = jnp.where(fxp, c(0.0), jnp.where(fxm, c(BND[0][1] * sx), c(-sx)))
+    cym = jnp.where(fym, c(0.0), jnp.where(fyp, c(BND[1][0] * sy), c(-sy)))
+    cyp = jnp.where(fyp, c(0.0), jnp.where(fym, c(BND[1][1] * sy), c(-sy)))
+    gz = k * CZ + jax.lax.broadcasted_iota(jnp.int32, (CZ, 1, 1), 0)
+    zm, zp = gz == 0, gz == nz - 1
+    czm = jnp.where(zm, c(0.0), jnp.where(zp, c(BND[2][0] * sz), c(-sz)))
+    czp = jnp.where(zp, c(0.0), jnp.where(zm, c(BND[2][1] * sz), c(-sz)))
+    diag = (jnp.where(fxm | fxp, c(sx), c(2.0 * sx))
+            + jnp.where(fym | fyp, c(sy), c(2.0 * sy)))[None]
+    diag = diag + jnp.where(zm | zp, c(sz), c(2.0 * sz))
+
+    azm = jnp.where(zm[None], c(0.0),
+                    jnp.concatenate([am_ref[:], a0], axis=1)[:, :CZ])
+    azp = jnp.where(zp[None], c(0.0),
+                    jnp.concatenate([a0, ap_ref[:]], axis=1)[:, 1:CZ + 1])
+    # y shifts stitch the pre-extracted neighbor boundary rows:
+    # ha = (3, CZ, 2, NXp): [row jy*TY-1, row (jy+1)*TY]
+    ha = ha_ref[:]
+    ay_m1 = jnp.concatenate([ha[:, :, 0:1], a0[:, :, :TY - 1]], axis=2)
+    ay_p1 = jnp.concatenate([a0[:, :, 1:], ha[:, :, 1:2]], axis=2)
+    yA = (diag[None] * a0
+          + cxm * ps._roll(a0, 1, 3) + cxp * ps._roll(a0, -1, 3)
+          + cym * ay_m1 + cyp * ay_p1
+          + czm[None] * azm + czp[None] * azp)
+
+    valid = (col < nx) & (row < ny)
+    zb0, zb1 = cond_z
+    inbox = (k * CZ < zb1) & ((k + 1) * CZ > zb0)
+
+    @pl.when(inbox)
+    def _conductor_chunk():
+        um1 = jnp.where(gz - 1 < 0, c(0.0),
+                        jnp.concatenate([um1_ref[:], u0], axis=0)[:CZ])
+        um2 = jnp.where(gz - 2 < 0, c(0.0),
+                        jnp.concatenate([um2_ref[:], um1_ref[:], u0],
+                                        axis=0)[:CZ])
+        up1 = jnp.where(gz + 1 > nz - 1, c(0.0),
+                        jnp.concatenate([u0, up1_ref[:]], axis=0)[1:CZ + 1])
+        up2 = jnp.where(gz + 2 > nz - 1, c(0.0),
+                        jnp.concatenate([u0, up1_ref[:], up2_ref[:]],
+                                        axis=0)[2:CZ + 2])
+        # hu = (CZ, 4, NXp): rows [jy*TY-2, jy*TY-1, (jy+1)*TY, (jy+1)*TY+1]
+        hu = hu_ref[:]
+        uy = {
+            1: jnp.concatenate([hu[:, 1:2], u0[:, :TY - 1]], axis=1),
+            2: jnp.concatenate([hu[:, 0:2], u0[:, :TY - 2]], axis=1),
+            -1: jnp.concatenate([u0[:, 1:], hu[:, 2:3]], axis=1),
+            -2: jnp.concatenate([u0[:, 2:], hu[:, 2:4]], axis=1),
+        }
+        un = {
+            (0, -1): ps._roll(u0, 1, 2), (0, +1): ps._roll(u0, -1, 2),
+            (0, -2): ps._roll(u0, 2, 2), (0, +2): ps._roll(u0, -2, 2),
+            (1, -1): uy[1], (1, +1): uy[-1],
+            (1, -2): uy[2], (1, +2): uy[-2],
+            (2, -1): um1, (2, +1): up1,
+            (2, -2): um2, (2, +2): up2,
+        }
+        pairs = ([(cc, a) for cc in range(3) for a in range(3)] if has_conv
+                 else [(0, 0), (1, 1), (2, 2)])
+        aan = {}
+        for cc, a in pairs:
+            if a == 2:
+                aan[(cc, 2)] = (azm[cc], azp[cc])
+            elif a == 1:
+                aan[(cc, 1)] = (ay_m1[cc], ay_p1[cc])
+            else:
+                aan[(cc, 0)] = (ps._roll(a0[cc], 1, 2),
+                                ps._roll(a0[cc], -1, 2))
+        conv = conv_ref[:] if has_conv else None
+        gout, yu = _u_body(consts, inertia_on_faces, has_conv,
+                           code_ref[:], cf_ref[:], conv, u0, un, a0, aan)
+        yA_ref[:] = jnp.where(valid[None, None],
+                              yA + jnp.stack(gout), c(0.0))
+        yU_ref[:] = jnp.where(valid[None], yu, c(0.0))
+
+    @pl.when(jnp.logical_not(inbox))
+    def _air_chunk():
+        yA_ref[:] = jnp.where(valid[None, None], yA, c(0.0))
+        yU_ref[:] = jnp.zeros_like(yU_ref)
+
+
+def _apply_fused_yt(coded, A_p, U_p, CZ: int, TY: int):
+    """pallas_call wiring for the y-tiled fused kernel (TY < NYp)."""
+    nz, ny, nx = coded.shape_zyx
+    NYp, NXp = coded.padded_yx
+    nk = -(-nz // CZ)
+    nyt = NYp // TY
+    dt_ = A_p.dtype
+
+    # pre-extract the cross-tile boundary rows into interleaved side
+    # arrays (ha: 2 A-rows per tile, hu: 4 U-rows, each group zero-padded
+    # to the sublane granule of 8 — Mosaic requires block sublane dims
+    # divisible by 8); reading these as tiny per-step blocks keeps each
+    # bulk operand streaming once, instead of 3x for whole jy±1 neighbor
+    # blocks.  Zero rows at the outer tiles.
+    zA = jnp.zeros((3, nz, 1, NXp), dt_)
+    a_m = jnp.concatenate([zA, A_p[:, :, TY - 1::TY][:, :, :nyt - 1]], 2)
+    a_p = jnp.concatenate([A_p[:, :, TY::TY], zA], 2)
+    haz = jnp.zeros((3, nz, nyt, 6, NXp), dt_)
+    ha = jnp.concatenate(
+        [jnp.stack([a_m, a_p], axis=3), haz], axis=3
+    ).reshape(3, nz, 8 * nyt, NXp)
+    zU = jnp.zeros((nz, 1, NXp), dt_)
+    u_m2 = jnp.concatenate([zU, U_p[:, TY - 2::TY][:, :nyt - 1]], 1)
+    u_m1 = jnp.concatenate([zU, U_p[:, TY - 1::TY][:, :nyt - 1]], 1)
+    u_p1 = jnp.concatenate([U_p[:, TY::TY], zU], 1)
+    u_p2 = jnp.concatenate([U_p[:, TY + 1::TY], zU], 1)
+    huz = jnp.zeros((nz, nyt, 4, NXp), dt_)
+    hu = jnp.concatenate(
+        [jnp.stack([u_m2, u_m1, u_p1, u_p2], axis=2), huz], axis=2
+    ).reshape(nz, 8 * nyt, NXp)
+
+    a_chunk = pl.BlockSpec(
+        (3, CZ, TY, NXp), ps._i32map(lambda k, j: (0, k, j, 0)),
+        memory_space=pltpu.VMEM)
+    u_chunk = pl.BlockSpec(
+        (CZ, TY, NXp), ps._i32map(lambda k, j: (k, j, 0)),
+        memory_space=pltpu.VMEM)
+    ha_spec = pl.BlockSpec(
+        (3, CZ, 8, NXp), ps._i32map(lambda k, j: (0, k, j, 0)),
+        memory_space=pltpu.VMEM)
+    hu_spec = pl.BlockSpec(
+        (CZ, 8, NXp), ps._i32map(lambda k, j: (k, j, 0)),
+        memory_space=pltpu.VMEM)
+    a_plane = lambda fk: pl.BlockSpec(
+        (3, 1, TY, NXp),
+        ps._i32map(lambda k, j: (0, jnp.clip(fk(k), 0, nz - 1), j, 0)),
+        memory_space=pltpu.VMEM)
+    u_plane = lambda fk: pl.BlockSpec(
+        (1, TY, NXp),
+        ps._i32map(lambda k, j: (jnp.clip(fk(k), 0, nz - 1), j, 0)),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        a_plane(lambda k: k * CZ - 1),
+        a_plane(lambda k: (k + 1) * CZ),
+        ha_spec,
+        a_chunk,
+        u_plane(lambda k: k * CZ - 2),
+        u_plane(lambda k: k * CZ - 1),
+        u_plane(lambda k: (k + 1) * CZ),
+        u_plane(lambda k: (k + 1) * CZ + 1),
+        hu_spec,
+        u_chunk,
+        u_chunk,                       # code (int32)
+        u_chunk,                       # cf
+    ]
+    args = [A_p, A_p, ha, A_p, U_p, U_p, U_p, U_p, hu, U_p,
+            coded.code_p, coded.cf_p]
+    if coded.has_conv:
+        in_specs.append(a_chunk)
+        args.append(coded.conv_p)
+    return pl.pallas_call(
+        partial(_fused_kernel_chunk_yt, nx, ny, nz, CZ, TY, coded.cond_z,
+                coded.consts, coded.inertia_on_faces, coded.has_conv),
+        grid=(nk, nyt),
+        in_specs=in_specs,
+        out_specs=(a_chunk, u_chunk),
+        out_shape=(
+            jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
+            jax.ShapeDtypeStruct(U_p.shape, U_p.dtype),
+        ),
+        interpret=ps.INTERPRET,
+    )(*args)
+
+
 def _apply_fused(coded, A_p, U_p, CZ: int = 0):
     nz, ny, nx = coded.shape_zyx
     NYp, NXp = coded.padded_yx
+    whole_ok = ((19 + (3 if coded.has_conv else 0)) * NYp * NXp * 4
+                <= _WHOLE_PLANE_BUDGET)
+    if not whole_ok:
+        # y-tiled path for 256³-class planes: revolving blocks per
+        # (z-chunk-plane, y-tile) grid step are A in 3 + out 3, U in 1 +
+        # out 1, code 1, cf 1 [+conv 3] (plus fixed z-neighbor planes and
+        # the tiny halo-row blocks).  TY trades z-restreaming (each
+        # operand moves ~(CZ+2)/CZ times; bigger CZ needs smaller tiles)
+        # against halo-row overhead (~3/TY extra traffic): minimize the
+        # modeled total over the proper sub-multiples of NYp.
+        sub = _SUB
+        nblk = 13 if coded.has_conv else 10
+        best = None
+        for t in range(sub, NYp, sub):
+            if NYp % t:
+                continue
+            cz = int(max(1, min(8, _CHUNK_BUDGET // (nblk * t * NXp * 4))))
+            cost = (cz + 2) / cz + 3.0 / t
+            if best is None or cost < best[0]:
+                best = (cost, t, cz)
+        if best is not None:
+            _, TY, CZy = best
+            return _apply_fused_yt(coded, A_p, U_p, CZ if CZ > 0 else CZy,
+                                   TY)
+        # NYp == sub: nothing to tile — fall through (whole-plane)
     if CZ <= 0:
         # chunk depth bounded by a per-chunk in+out budget: 9 (+3 with
         # convection) full planes per chunk z-plane (A in/out 3+3, U in/out

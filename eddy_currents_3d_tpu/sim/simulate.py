@@ -52,6 +52,65 @@ class StepInfo(NamedTuple):
     src_values: tuple
 
 
+class _AsyncVtkWriter:
+    """Overlapped VTK output: device→host readback + encode + file write
+    run on one worker thread while the device computes subsequent steps
+    (the reference's separated ``Tsavedata`` accounting intent,
+    EC3D.f90:237; the synchronous path serialized ~half the e2e wall into
+    io).  Bytes are identical to the synchronous path — the worker calls
+    the same ``write_outputs`` on a non-donated device snapshot of the two
+    fields it needs (the live state's buffers are donated into the next
+    step, so the snapshot is a real device copy, ~µs for these sizes)."""
+
+    def __init__(self, sim):
+        import queue
+        import threading
+
+        self._sim = sim
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)  # bounds snapshots
+        self._err = None
+        self._copy = jax.jit(lambda a, c: (a + 0.0, c + 0.0))
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        from ..io import vtk as vtkio
+
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                if self._err is None:
+                    st, info, npoint, outdir = item
+                    vtkio.write_outputs(self._sim, st, info, npoint, outdir)
+            except BaseException as e:  # re-raised on submit/close
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, state, info, npoint: int, outdir: str) -> None:
+        from types import SimpleNamespace
+
+        if self._err is not None:
+            raise self._err
+        A, carry = self._copy(state.A, state.carry)
+        # start the D2H transfers now; the worker's np.asarray then sees
+        # ready (or in-flight) buffers instead of initiating serially
+        for arr in (A, carry):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        self._q.put((SimpleNamespace(A=A, carry=carry), info, npoint, outdir))
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
 def _schedule(tran):
     """Step times + output points with the reference's exact bookkeeping
     (EC3D.f90:137-143, 436-455)."""
@@ -120,32 +179,43 @@ class Simulation:
 
         # case-coded kernels (ops/pallas_coded.py): coefficients computed
         # in-register from a 1-int32/cell case code instead of streamed —
-        # the production single-chip operator.  Not combined with mg (whose
-        # V-cycle reads the field operator's padded coefficients) or with
-        # coeff_dtype (which exists to shrink the very streams coded
-        # kernels eliminate).  use_coded=None auto-selects with a silent
+        # the production operator, single-chip AND per-shard on z-only
+        # meshes (parallel/shard_op.py coded tier).  Not combined with mg
+        # (whose V-cycle reads the field operator's padded coefficients),
+        # with coeff_dtype (which exists to shrink the very streams coded
+        # kernels eliminate), or with y-decomposed meshes (per-shard rows
+        # are then not global).  use_coded=None auto-selects with a silent
         # fallback to the field kernels on CodedUnsupported.
+        if mesh is not None and use_shard_map is None:
+            use_shard_map = precond != "mg"
+        mesh_n_y = int(mesh.shape.get("y", 1)) if mesh is not None else 1
         self.coded_op = None
-        coded_ok = (use_pallas and mesh is None and coeff_dtype is None
-                    and precond != "mg" and dtype == jnp.float32)
-        if (use_coded is None or use_coded) and coded_ok:
-            from ..ops.pallas_coded import CodedUnsupported, from_assembled_coded
+        coded_base = (use_pallas and coeff_dtype is None
+                      and precond != "mg" and dtype == jnp.float32)
+        coded_single_ok = coded_base and mesh is None
+        coded_shard_ok = (coded_base and mesh is not None
+                          and bool(use_shard_map) and mesh_n_y == 1)
+        from ..ops.pallas_coded import CodedUnsupported, from_assembled_coded
+        if (use_coded is None or use_coded) and coded_single_ok:
             try:
                 self.coded_op = from_assembled_coded(self.system, model)
             except CodedUnsupported:
                 if use_coded:
                     raise
-        elif use_coded:
+        elif use_coded and not coded_shard_ok:
             # an explicit request must not silently degrade to the field
             # kernels — name the option that disables the coded path
             why = ("use_pallas=False" if not use_pallas else
-                   "mesh is set" if mesh is not None else
                    f"coeff_dtype={coeff_dtype}" if coeff_dtype is not None else
                    "precond='mg'" if precond == "mg" else
+                   "use_shard_map=False" if (mesh is not None
+                                             and not use_shard_map) else
+                   "mesh has a y decomposition" if mesh_n_y != 1 else
                    f"dtype={jnp.dtype(dtype).name}")
             raise ValueError(
                 f"use_coded=True is incompatible with {why}; the coded "
-                "kernels require the single-device f32 Pallas path")
+                "kernels require the f32 Pallas path (single device or a "
+                "z-decomposed mesh)")
 
         self.pallas_op = (
             pallas_stencil.from_assembled(self.system)
@@ -154,15 +224,22 @@ class Simulation:
         )
 
         # explicit multi-chip tier: (z, y)-decomposed shard_map with halo
-        # ppermute and per-shard fused kernels (parallel/shard_op.py).
+        # ppermute and per-shard fused kernels (parallel/shard_op.py) —
+        # per-shard *coded* kernels on z-only meshes when eligible.
         # Falls back to the GSPMD flat-roll tier only for the mg
         # preconditioner (whose V-cycle is built in unpadded space).
         self.shard_op = None
-        if mesh is not None:
-            if use_shard_map is None:
-                use_shard_map = precond != "mg"
-            if use_shard_map:
-                from ..parallel.shard_op import ShardedStencilOperator
+        if mesh is not None and use_shard_map:
+            from ..parallel.shard_op import ShardedStencilOperator
+            if (use_coded is None or use_coded) and coded_shard_ok:
+                try:
+                    self.shard_op = ShardedStencilOperator(
+                        self.system, mesh, dtype, use_pallas=True,
+                        model=model, use_coded=True)
+                except CodedUnsupported:
+                    if use_coded:
+                        raise
+            if self.shard_op is None:
                 self.shard_op = ShardedStencilOperator(
                     self.system, mesh, dtype, use_pallas=bool(use_pallas),
                     coeff_dtype=coeff_dtype)
@@ -530,6 +607,8 @@ class Simulation:
 
         Returns (final_state, stacked diagnostics).
         """
+        if resume and checkpoint_dir is None:
+            raise ValueError("resume=True requires checkpoint_dir")
         steps = self.steps if num_steps is None else self.steps[:num_steps]
         times = jnp.asarray([t for t, _ in steps],
                             jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -654,7 +733,6 @@ class Simulation:
         Checkpoint boundaries additionally split the segments (state is
         host-visible there, so ckpt_<step>.npz files match :meth:`run`'s)."""
         import os
-        from ..io import vtk as vtkio
         from . import checkpoint as ckpt
 
         if output_dir is not None:
@@ -673,6 +751,8 @@ class Simulation:
 
         iters, relres, conv = [], [], []
         i = start
+        t_io = 0.0
+        last_ck = None
 
         def flush_to(j):
             nonlocal i, state
@@ -681,30 +761,46 @@ class Simulation:
                 iters.append(it), relres.append(rr), conv.append(cv)
                 i = j
 
-        for j in range(start, len(steps)):
-            t, out = steps[j]
-            is_out = out is not None and output_dir is not None
-            is_ck = every and (j + 1) % every == 0
-            if is_out:
-                flush_to(j)
-                state, info = self._step_jit(state, times[j])
-                vtkio.write_outputs(self, state, info, out, output_dir)
-                iters.append(info.iterations[None])
-                relres.append(info.relres[None])
-                conv.append(info.converged[None])
-                i = j + 1
-            elif is_ck:
-                flush_to(j + 1)
-            if is_ck:
-                ckpt.save_checkpoint(
-                    os.path.join(checkpoint_dir, f"ckpt_{j + 1}.npz"),
-                    state, j + 1, out or 0, fingerprint)
-        flush_to(len(steps))
+        writer = _AsyncVtkWriter(self) if output_dir is not None else None
+        try:
+            for j in range(start, len(steps)):
+                t, out = steps[j]
+                is_out = out is not None and output_dir is not None
+                is_ck = every and (j + 1) % every == 0
+                if is_out:
+                    flush_to(j)
+                    state, info = self._step_jit(state, times[j])
+                    # async write: the next segment's scan dispatch below
+                    # overlaps the readback+encode on the worker thread
+                    t1 = _time.perf_counter()
+                    writer.submit(state, info, out, output_dir)
+                    t_io += _time.perf_counter() - t1
+                    iters.append(info.iterations[None])
+                    relres.append(info.relres[None])
+                    conv.append(info.converged[None])
+                    i = j + 1
+                elif is_ck:
+                    flush_to(j + 1)
+                if is_ck:
+                    t1 = _time.perf_counter()
+                    ckpt.save_checkpoint(
+                        os.path.join(checkpoint_dir, f"ckpt_{j + 1}.npz"),
+                        state, j + 1, out or 0, fingerprint)
+                    last_ck = j + 1
+                    t_io += _time.perf_counter() - t1
+            flush_to(len(steps))
+        finally:
+            if writer is not None:
+                t1 = _time.perf_counter()
+                writer.close()
+                t_io += _time.perf_counter() - t1
         # final checkpoint only when steps actually ran this call (an
         # empty horizon, or resuming past num_steps, must neither crash on
         # steps[-1] nor write a checkpoint whose step index contradicts
-        # the state it contains)
-        if checkpoint_dir is not None and every and start < len(steps):
+        # the state it contains) and the loop didn't just write the
+        # identical ckpt_<len>.npz itself
+        if checkpoint_dir is not None and every and start < len(steps) \
+                and last_ck != len(steps):
             ckpt.save_checkpoint(
                 os.path.join(checkpoint_dir, f"ckpt_{len(steps)}.npz"),
                 state, len(steps), steps[-1][1] or 0, fingerprint)
@@ -714,9 +810,12 @@ class Simulation:
                 return jnp.zeros((0,), dtype)
             return jnp.concatenate([jnp.atleast_1d(x) for x in xs])
         return state, {"iterations": cat(iters, jnp.int32),
-                       "relres": cat(relres, jnp.float32),
+                       # empty-horizon dtype must match a live run's (the
+                       # solver computes relres in the field dtype)
+                       "relres": cat(relres, self.dtype),
                        "converged": cat(conv, jnp.bool_),
-                       "start_step": start}
+                       "start_step": start,
+                       "io_s": t_io}
 
     # ------------------------------------------------------------------
     def run(
@@ -743,9 +842,10 @@ class Simulation:
         counts, solve/io wall-time split, and the unconverged-step count).
         """
         import os
-        from ..io import vtk as vtkio
         from . import checkpoint as ckpt
 
+        if resume and checkpoint_dir is None:
+            raise ValueError("resume=True requires checkpoint_dir")
         start = 0
         state = initial_state
         fingerprint = None
@@ -760,36 +860,49 @@ class Simulation:
 
         steps = self.steps if num_steps is None else self.steps[:num_steps]
         infos = []
+        writer = _AsyncVtkWriter(self) if output_dir is not None else None
         t0 = _time.perf_counter()
         t_io = 0.0
+        last_ck = None
         tick = max(len(self.steps) // 100, 1)
-        for idx in range(start, len(steps)):
-            t, out = steps[idx]
-            state, info = self._step_jit(state, t)
-            infos.append(info)
-            if out is not None:
+        try:
+            for idx in range(start, len(steps)):
+                t, out = steps[idx]
+                state, info = self._step_jit(state, t)
+                infos.append(info)
+                if out is not None:
+                    t1 = _time.perf_counter()
+                    if writer is not None:
+                        # async: readback+encode+write overlap the next
+                        # steps' device compute (t_io counts only the time
+                        # this loop stayed blocked on io)
+                        writer.submit(state, info, out, output_dir)
+                    if on_output is not None:
+                        on_output(out, state, info)
+                    t_io += _time.perf_counter() - t1
+                if checkpoint_dir is not None and checkpoint_every and (idx + 1) % checkpoint_every == 0:
+                    t1 = _time.perf_counter()
+                    ckpt.save_checkpoint(
+                        os.path.join(checkpoint_dir, f"ckpt_{idx + 1}.npz"),
+                        state, idx + 1, out or 0, fingerprint,
+                    )
+                    last_ck = idx + 1
+                    t_io += _time.perf_counter() - t1
+                if progress and idx % tick == 0:
+                    print(">", end="", flush=True)
+            jax.block_until_ready(state)
+        finally:
+            if writer is not None:
                 t1 = _time.perf_counter()
-                if output_dir is not None:
-                    vtkio.write_outputs(self, state, info, out, output_dir)
-                if on_output is not None:
-                    on_output(out, state, info)
+                writer.close()       # drain pending writes
                 t_io += _time.perf_counter() - t1
-            if checkpoint_dir is not None and checkpoint_every and (idx + 1) % checkpoint_every == 0:
-                t1 = _time.perf_counter()
-                ckpt.save_checkpoint(
-                    os.path.join(checkpoint_dir, f"ckpt_{idx + 1}.npz"),
-                    state, idx + 1, out or 0, fingerprint,
-                )
-                t_io += _time.perf_counter() - t1
-            if progress and idx % tick == 0:
-                print(">", end="", flush=True)
-        jax.block_until_ready(state)
         wall = _time.perf_counter() - t0
         # final checkpoint only when steps actually ran this call (see
         # _run_scan_chunked: no crash on an empty horizon, no checkpoint
-        # whose step index contradicts its state)
+        # whose step index contradicts its state) and the loop didn't
+        # just write the identical ckpt_<len>.npz itself
         if checkpoint_dir is not None and checkpoint_every \
-                and start < len(steps):
+                and start < len(steps) and last_ck != len(steps):
             ckpt.save_checkpoint(
                 os.path.join(checkpoint_dir, f"ckpt_{len(steps)}.npz"),
                 state, len(steps), steps[-1][1] or 0, fingerprint,

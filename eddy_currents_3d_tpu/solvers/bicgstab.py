@@ -29,9 +29,14 @@ __all__ = ["bicgstab_wr", "bicgstab_wr_right", "bicgstab_jacobi",
 
 
 def tree_dot(a, b, dtype=None):
+    # sum-of-product, NOT jnp.vdot: vdot ravels its operands, and on
+    # GSPMD-sharded state that reshape makes the partitioner all-gather
+    # the FULL state every solver iteration (caught by the moving-source
+    # shard tests); an elementwise multiply + reduce partitions into
+    # per-shard partial sums + one fused all-reduce
     leaves = jax.tree.leaves(jax.tree.map(
-        lambda x, y: jnp.vdot(x.astype(dtype) if dtype else x,
-                              y.astype(dtype) if dtype else y), a, b))
+        lambda x, y: jnp.sum((x.astype(dtype) if dtype else x)
+                             * (y.astype(dtype) if dtype else y)), a, b))
     return sum(leaves[1:], leaves[0])
 
 

@@ -106,6 +106,54 @@ def test_convection_chunk_depth_one(rng, monkeypatch):
     assert coded.has_conv
 
 
+def test_ytiled_kernel(rng, monkeypatch):
+    """Force the y-tiled fused kernel (the 256³-class path) on a small
+    grid by shrinking the whole-plane budget: coded matvec must still
+    match the f64 field operator, including cross-tile ±1/±2 y-shift
+    stitching through the conductor box."""
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    # ny = 18 -> NYp = 24 pads to three 8-row tiles; conductor spans tiles
+    model = load_case(case_static(shape_xyz=(18, 18, 12), steps=2))
+    _check_case(model, rng)
+
+
+def test_ytiled_kernel_convection(rng, monkeypatch):
+    """Y-tiled path with the convection branch live (full 3x3 neighbor
+    map, conv stream block)."""
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    model = load_case(case_convection(shape_xyz=(20, 18, 10), steps=2))
+    coded = _check_case(model, rng)
+    assert coded.has_conv
+
+
+def test_ytiled_kernel_chunk_depth(rng, monkeypatch):
+    """Y-tiled path with CZ > 1 (in-chunk z concatenation + y stitching
+    in the same kernel)."""
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    monkeypatch.setattr(pc, "_CHUNK_BUDGET", 10**9)
+    model = load_case(case_static(shape_xyz=(18, 18, 14), steps=2))
+    _check_case(model, rng)
+
+
+def test_scale256_class_accepted():
+    """from_assembled_coded must accept the BASELINE-named 256³-class
+    plane sizes instead of raising CodedUnsupported (round-4 weak #1).
+    Construction only — the full-grid matvec runs on TPU in bench."""
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    model = load_case(case_static(shape_xyz=(256, 256, 8), steps=2))
+    sysm = assemble_operator(model, jnp.float32)
+    coded = from_assembled_coded(sysm, model)
+    NYp, NXp = coded.padded_yx
+    assert (19 * NYp * NXp * 4) > pc._WHOLE_PLANE_BUDGET  # y-tiled class
+
+
 def test_custom_bnd_multipliers(rng):
     model = load_case(case_static(shape_xyz=(16, 14, 12), steps=2))
     model.solver.BND = np.array([[-1.0, -0.5], [0.25, -0.95],

@@ -263,3 +263,187 @@ def test_sharded_coeff_dtype_matches_single_device(team7ish, rng):
     # Jacobi diagonal stays in the state dtype
     d = sop.diagonal_padded()
     assert d.A.dtype == jnp.float32 and d.U.dtype == jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# coded shard tier (round-5: per-shard case-coded kernels on z-only meshes)
+# ---------------------------------------------------------------------------
+
+from eddy_currents_3d_tpu.ops import pallas_stencil as ps
+from eddy_currents_3d_tpu.ops.pallas_coded import CodedUnsupported
+from eddy_currents_3d_tpu.testing.cases import case_convection
+
+
+def _coded_pair(model, rng, mesh_z=8):
+    """(f64 reference matvec, coded-sharded matvec) on a random state."""
+    sysm = assemble_operator(model, jnp.float32)
+    sys64 = assemble_operator(model, jnp.float64)
+    st = _random_state(model, sysm, rng)
+    st32 = State(st.A.astype(jnp.float32), st.U.astype(jnp.float32))
+    y_ref = jax.jit(sys64.op.apply)(st)
+    sop = ShardedStencilOperator(sysm, make_mesh(mesh_z, 1), jnp.float32,
+                                 use_pallas=True, interpret=True,
+                                 model=model, use_coded=True)
+    assert sop.use_coded
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        y_sh = sop.unpad_state(jax.jit(sop.apply)(sop.pad_state(st32)))
+    finally:
+        ps.INTERPRET = prev
+    return y_ref, y_sh, sop, st32
+
+
+def _assert_close(y_ref, y_sh, atol_scale=3e-6):
+    scale = np.abs(np.asarray(y_ref.A)).max()
+    np.testing.assert_allclose(np.asarray(y_sh.A, np.float64),
+                               np.asarray(y_ref.A), atol=atol_scale * scale)
+    uscale = max(np.abs(np.asarray(y_ref.U)).max(), scale)
+    np.testing.assert_allclose(np.asarray(y_sh.U, np.float64),
+                               np.asarray(y_ref.U), atol=atol_scale * uscale)
+
+
+def test_coded_sharded_apply_matches(rng):
+    """8-device z mesh, per-shard coded kernels: sharded-coded ==
+    unsharded f64 field matvec to f32 tolerance (VERDICT r4 #2)."""
+    model = load_case(case_static(shape_xyz=(16, 16, 14), steps=3))
+    y_ref, y_sh, sop, _ = _coded_pair(model, rng)
+    assert len(y_sh.A.sharding.device_set) == 8
+    _assert_close(y_ref, y_sh)
+
+
+def test_coded_sharded_uneven_z(rng):
+    """nz=13 over 4 shards (NZl=4, one padding plane mid-shard): the
+    true +z grid face sits mid-shard, exercising the general per-plane
+    scalar-delta path and the padding-plane re-zeroing."""
+    model = load_case(case_static(shape_xyz=(12, 12, 13), steps=2))
+    y_ref, y_sh, sop, _ = _coded_pair(model, rng, mesh_z=4)
+    assert not sop._z_deltas_face_only
+    _assert_close(y_ref, y_sh)
+
+
+def test_coded_sharded_tiny_slabs(rng):
+    """NZl=2 (every local plane is a shard face; plane 1 == plane -1):
+    the overlapping correction algebra must still compose."""
+    model = load_case(case_static(shape_xyz=(12, 12, 16), steps=2))
+    y_ref, y_sh, sop, _ = _coded_pair(model, rng, mesh_z=8)
+    assert sop._NZl == 2
+    _assert_close(y_ref, y_sh)
+
+
+def test_coded_sharded_convection(rng):
+    """Moving conductor: the conv stream's z-ghost corrections."""
+    model = load_case(case_convection(shape_xyz=(16, 12, 12), steps=2))
+    y_ref, y_sh, sop, _ = _coded_pair(model, rng, mesh_z=4)
+    assert sop._coded_meta[2]   # has_conv
+    _assert_close(y_ref, y_sh)
+
+
+def test_coded_sharded_apply_div_matches(rng):
+    model = load_case(case_static(shape_xyz=(16, 16, 14), steps=2))
+    sysm = assemble_operator(model, jnp.float32)
+    sys64 = assemble_operator(model, jnp.float64)
+    st = _random_state(model, sysm, rng)
+    d_ref = jax.jit(sys64.op.apply_div)(st.A)
+    sop = ShardedStencilOperator(sysm, make_mesh(8, 1), jnp.float32,
+                                 use_pallas=True, interpret=True,
+                                 model=model, use_coded=True)
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        d_sh = jax.jit(sop.apply_div)(st.A.astype(jnp.float32))
+    finally:
+        ps.INTERPRET = prev
+    scale = max(np.abs(np.asarray(d_ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(d_sh, np.float64),
+                               np.asarray(d_ref), atol=3e-6 * scale)
+
+
+def test_coded_sharded_rejects_y_mesh():
+    model = load_case(case_static(shape_xyz=(14, 14, 12), steps=2))
+    sysm = assemble_operator(model, jnp.float32)
+    with pytest.raises(CodedUnsupported):
+        ShardedStencilOperator(sysm, make_mesh(4, 2), jnp.float32,
+                               use_pallas=True, model=model, use_coded=True)
+
+
+def test_coded_sharded_simulation_matches():
+    """Simulation auto-engages the coded shard tier on a z mesh when the
+    Pallas path is requested, and the full transient matches the
+    unsharded coded run within solver tolerance."""
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+
+    model = load_case(case_static(shape_xyz=(16, 14, 12), steps=3))
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        ref_sim = Simulation(model, dtype=jnp.float32, use_pallas=True,
+                             use_coded=True)
+        ref_state, ref_diag = ref_sim.run()
+        sim = Simulation(model, dtype=jnp.float32, use_pallas=True,
+                         mesh=make_mesh(4, 1))
+        assert sim.shard_op is not None and sim.shard_op.use_coded
+        sh_state, sh_diag = sim.run()
+    finally:
+        ps.INTERPRET = prev
+    assert not sh_diag["unconverged_steps"]
+    tol = model.solver.tolerance
+    scale = np.abs(np.asarray(ref_state.A)).max()
+    np.testing.assert_allclose(np.asarray(sh_state.A),
+                               np.asarray(ref_state.A), atol=4 * tol * scale)
+
+
+def test_coded_sharded_jacobi_converges():
+    """Right-Jacobi on the coded shard tier (host-built diagonal)."""
+    from eddy_currents_3d_tpu.sim.simulate import Simulation
+
+    model = load_case(case_static(shape_xyz=(16, 14, 12), steps=2))
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        sim = Simulation(model, dtype=jnp.float32, use_pallas=True,
+                         mesh=make_mesh(4, 1), precond="jacobi")
+        assert sim.shard_op is not None and sim.shard_op.use_coded
+        _, diag = sim.run()
+    finally:
+        ps.INTERPRET = prev
+    assert not diag["unconverged_steps"]
+
+
+def test_moving_source_explicit_tier_matches(rng):
+    """Moving coil under the explicit shard tier (VERDICT r4 weak #5):
+    sharded trajectory over 5 steps == unsharded, motion state carried
+    bit-exactly, and NO full-state all-gather anywhere in the compiled
+    step (scatter included) — halos are point-to-point permutes."""
+    from eddy_currents_3d_tpu.testing.cases import case_moving
+
+    model = load_case(case_moving(shape_xyz=(16, 16, 12), steps=6))
+    assert any(any(f.move) for f in model.functions)
+    ref_state, _ = Simulation(model, dtype=jnp.float64,
+                              dot_dtype=jnp.float64).run(num_steps=5)
+    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64,
+                     mesh=make_mesh(4, 1), donate=False)
+    assert sim.shard_op is not None
+    sh_state, sh_diag = sim.run(num_steps=5)
+    assert len(sh_state.A.sharding.device_set) == 4
+
+    np.testing.assert_array_equal(np.asarray(sh_state.motion.movestop),
+                                  np.asarray(ref_state.motion.movestop))
+    np.testing.assert_allclose(np.asarray(sh_state.motion.distance),
+                               np.asarray(ref_state.motion.distance),
+                               rtol=0, atol=0)
+    scale = np.abs(np.asarray(ref_state.A)).max()
+    np.testing.assert_allclose(np.asarray(sh_state.A),
+                               np.asarray(ref_state.A), atol=1e-6 * scale)
+
+    import re
+    st = sim.init_state()
+    hlo = jax.jit(sim._step_p).lower(sim._params, st, 0.0).compile().as_text()
+    nfull = 3 * 16 * 16 * 12
+    for line in hlo.splitlines():
+        if "all-gather" in line and "=" in line:
+            shapes = re.findall(r"f64\[([\d,]*)\]", line)
+            for s in shapes:
+                n = int(np.prod([int(v) for v in s.split(",") if v] or [1]))
+                assert n < nfull, f"full-state all-gather:\n{line}"
+    assert "collective-permute" in hlo
