@@ -57,13 +57,14 @@ BEST_CONFIG = {
     "move": {"precond": "jacobi"},
     "lim": {"precond": "jacobi"},
     # the 256^3-class synthetic scale case (--mode scale256), measured by
-    # `--mode precond --case scale256` (subprocess shoot-out, 10 steps):
-    # UNPRECONDITIONED wins (78.9 ms/step vs jacobi 84.5, ilu0 85.6, cheb
-    # 94.0, cheb8 144.6).  At 4.2M cells the field-kernel matvec dominates
-    # the step, so polynomial preconditioning's extra operator applies are
-    # pure loss even though cheb8 cuts iterations 29.8 -> 6.0 — the
-    # opposite of the 250k-cell cases, where per-iteration loop overhead
-    # is the thing being amortized.
+    # `--mode precond --case scale256` (subprocess shoot-out, 10 steps;
+    # round 5, with the y-tiled CODED operator engaged): UNPRECONDITIONED
+    # wins again (62.6 ms/step at 27.6 iters vs cheb 82.9 @ 10.2, ilu0
+    # 83.5 @ 7.8, jacobi 84.8, cheb_jacobi 94.8, cheb8 133.2 @ 6.0; mg is
+    # rejected typed above 2.5M cells).  At 4.2M cells the step is bound
+    # by per-iteration state traffic (dots/axpys on 67 MB State), so
+    # preconditioners that multiply operator applies lose even at 3-5x
+    # fewer iterations.
     "scale256": {},
 }
 
@@ -193,21 +194,29 @@ def run_roofline(args) -> int:
 
     def diffed(c2, c1, R, *args):
         """t(2R) - t(R) cancels dispatch/readback latency.  The chip
-        behind the tunnel shows run-to-run speed variance, so interleave
-        and retry until the difference is stably positive."""
-        for _ in range(4):
-            d = timed(c2, *args) - timed(c1, *args)
-            if d > 0:
-                return d / R
-        return max(d, 1e-9) / R
+        behind the tunnel drifts in speed run-to-run (measured marginal
+        per-rep times vary ~2x between adjacent R points), so take the
+        MEDIAN of five interleaved difference pairs and report the spread
+        — an early exit on the first positive difference (the round-4
+        scheme) systematically selected low-side fluctuations and
+        inflated the roofline metric past 100%."""
+        ds = []
+        for _ in range(5):
+            ds.append(timed(c2, *args) - timed(c1, *args))
+        ds = [max(d, 1e-9) / R for d in sorted(ds)]
+        return ds[len(ds) // 2], ds[0], ds[-1]
 
-    # R sized so the differenced work is ~20 ms at any grid size
-    R = int(min(1024, max(48, 1.5e10 // bytes_mv)))
-    t_mv = diffed(chain_of(2 * R), chain_of(R), R, st)
+    # R sized so the differenced work is ~40 ms at any grid size
+    R = int(min(2048, max(96, 3.0e10 // bytes_mv)))
+    t_mv, t_mv_min, t_mv_max = diffed(chain_of(2 * R), chain_of(R), R, st)
 
-    # measured speed of light: same two-point chained triad on big buffers
-    # (runtime random inputs so nothing constant-folds)
-    big = 1 << 26  # 64M f32 per array
+    # measured speed of light: same two-point chained triad on big
+    # buffers.  The buffers must be far larger than VMEM: a triad sized
+    # to the operator's ~10-50 MB working set stays VMEM-resident across
+    # loop iterations and reads 8.9-17.6 TB/s (measured round 5) — not
+    # an HBM bound at all.  Runtime random inputs so nothing
+    # constant-folds.
+    big = 1 << 26  # 64M f32 per array (768 MB of triad traffic per rep)
     x = jax.random.normal(jax.random.PRNGKey(0), (big,), jnp.float32)
     y = jax.random.normal(jax.random.PRNGKey(1), (big,), jnp.float32)
 
@@ -215,14 +224,19 @@ def run_roofline(args) -> int:
         return jax.jit(lambda a, b: jnp.sum(
             jax.lax.fori_loop(0, reps, lambda _, a: a * 0.999 + 2.0 * b, a)))
 
-    t_triad = diffed(triad_of(2 * R), triad_of(R), R, x, y)
+    Rt = int(min(2048, max(48, 3.0e10 // (3 * big * 4))))
+    t_triad, _, _ = diffed(triad_of(2 * Rt), triad_of(Rt), Rt, x, y)
     stream_bw = 3 * big * 4 / t_triad            # bytes/s, measured roofline
 
     # bytes_mv assumes each operand streams exactly once over the FULL
-    # padded grid, so pct is a lower bound on pipeline efficiency.  The
-    # conductor-gated coded kernel can exceed 100%: chunks outside the
-    # conductor's z-extent skip their predicated U/code/cf reads entirely,
-    # so its true traffic is below the full-grid assumption.
+    # padded grid.  The conductor-z gating does NOT reduce traffic — the
+    # block DMAs run regardless of pl.when (measured: forcing cond_z to
+    # the full z extent on TEAM7 moved the matvec 13.6 -> 21.8 us, the
+    # signature of gated VPU arithmetic on unconditional streams, not of
+    # skipped reads) — so pct is a genuine pipeline-efficiency fraction
+    # against a like-for-like stream bound; values near (or, within the
+    # reported min/max noise band, above) 100% mean the kernel is at the
+    # chip's streaming speed, not that traffic was skipped.
     achieved_bw = bytes_mv / t_mv
     pct = 100.0 * achieved_bw / stream_bw
     tag = "_bf16" if args.coeff_dtype == "bf16" else ""
@@ -232,6 +246,8 @@ def run_roofline(args) -> int:
         f"{args.case}_spmv_roofline{tag}", pct, "% of measured HBM stream", pct / 70.0,
         nnz_per_s=round(nnz / t_mv / 1e6, 1),
         matvec_us=round(t_mv * 1e6, 1),
+        matvec_us_min=round(t_mv_min * 1e6, 1),
+        matvec_us_max=round(t_mv_max * 1e6, 1),
         stream_gbps=round(stream_bw / 1e9, 1),
         backend=jax.devices()[0].platform,
     )
@@ -549,8 +565,10 @@ def run_all(args) -> int:
         ["--case", "lim"],
         ["--case", "team7", "--coeff-dtype", "bf16"],
         ["--mode", "roofline"],
+        ["--mode", "roofline", "--op", "coded"],
         ["--mode", "roofline", "--coeff-dtype", "bf16"],
         ["--mode", "scale256"],
+        ["--mode", "shardmv_tpu", "--case", "team7"],
         ["--mode", "scaling", "--devices", "4"],
         ["--mode", "shardmv", "--devices", "8"],
         ["--mode", "precond", "--case", "team7"],
@@ -611,7 +629,10 @@ def run_scale256(args) -> int:
     return _emit("scale256_time_per_step", per_step, "s/step",
                  nnz * iters / per_step / 1e6,  # solver Mnnz/s
                  cells=cells, nnz=int(nnz), iters_per_step=iters,
-                 steps=n_steps)
+                 steps=n_steps,
+                 op=("coded" if sim.coded_op is not None else
+                     "fields" if sim.pallas_op is not None else "jnp"),
+                 config=BEST_CONFIG["scale256"])
 
 
 def main() -> int:

@@ -340,7 +340,11 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
     # conductor's z-extent [zb0, zb1) skip the whole decode/ladder compute
     # (pure VPU savings — the z-thin-conductor cases are arithmetic-bound
     # on small planes; LIM regressed 13 -> 30 us/matvec without this).
-    # Block DMAs still happen either way; traffic is unchanged.
+    # Block DMAs still happen either way; traffic is unchanged.  Measured
+    # (round 5): forcing cond_z to the full z extent on TEAM7 moves the
+    # matvec 13.6 -> 21.8 us — the ~8 us delta scales with the number of
+    # ungated planes' *arithmetic*, exactly what unconditional streams +
+    # gated VPU predicts (bench.py's roofline bound now matches this).
     zb0, zb1 = cond_z
     inbox = (k * CZ < zb1) & ((k + 1) * CZ > zb0)
 

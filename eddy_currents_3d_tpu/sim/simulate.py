@@ -62,18 +62,61 @@ class _AsyncVtkWriter:
     fields it needs (the live state's buffers are donated into the next
     step, so the snapshot is a real device copy, ~µs for these sizes)."""
 
+    _WORKERS = 2   # D2H fetch + native encode release the GIL; a small
+    #                pool overlaps them across output points (sized to
+    #                this host's 2 cores — 3 workers measured slower)
+
     def __init__(self, sim):
         import queue
         import threading
 
         self._sim = sim
-        self._q: "queue.Queue" = queue.Queue(maxsize=2)  # bounds snapshots
+        # bounds in-flight packed snapshots (~state-size each; 16 is a few
+        # tens of MB worst-case, small next to the solve working set)
+        self._q: "queue.Queue" = queue.Queue(maxsize=16)
         self._err = None
-        self._copy = jax.jit(lambda a, c: (a + 0.0, c + 0.0))
-        self._t = threading.Thread(target=self._loop, daemon=True)
-        self._t.start()
+        # ONE packed f32 buffer per output: the axon tunnel charges ~64 ms
+        # fixed per D2H fetch at ~30 MB/s, so fetching A, carry and each
+        # per-function source value separately cost ~6 fixed latencies per
+        # output (~400 ms); packing collapses them into one fetch.  Source
+        # cells ride in a second int32 pack only when sources move (static
+        # cells are the same device arrays every step — the host copy is
+        # cached after the first output).
+        self._shape = None
+
+        def pack_f(A, carry, values):
+            flat = [A.ravel(), carry.ravel()]
+            flat += [jnp.reshape(v, (1,)).astype(A.dtype) for v in values]
+            return jnp.concatenate(flat)
+
+        self._pack_f = jax.jit(pack_f)
+        self._pack_i = jax.jit(
+            lambda cells: jnp.concatenate([jnp.asarray(c, jnp.int32).ravel()
+                                           for c in cells]))
+        self._moving = sim.flag_move
+        # warm the pack compiles now (writer construction is setup, before
+        # the timed loop) so the first output's submit doesn't charge a
+        # remote jit compile to io time
+        try:
+            nz, ny, nx = sim.model.shape_zyx
+            A0 = jax.ShapeDtypeStruct((3, nz, ny, nx), sim.dtype)
+            v0 = tuple(jax.ShapeDtypeStruct((), sim.dtype)
+                       for _ in sim.model.functions)
+            self._pack_f.lower(A0, A0, v0).compile()
+            if self._moving:
+                c0 = tuple(jax.ShapeDtypeStruct((len(fn.cells),), jnp.int32)
+                           for fn in sim.model.functions)
+                self._pack_i.lower(c0).compile()
+        except Exception:
+            pass   # first submit compiles instead
+        self._ts = [threading.Thread(target=self._loop, daemon=True)
+                    for _ in range(self._WORKERS)]
+        for t in self._ts:
+            t.start()
 
     def _loop(self):
+        from types import SimpleNamespace
+
         from ..io import vtk as vtkio
 
         while True:
@@ -82,31 +125,48 @@ class _AsyncVtkWriter:
                 if item is None:
                     return
                 if self._err is None:
-                    st, info, npoint, outdir = item
-                    vtkio.write_outputs(self._sim, st, info, npoint, outdir)
+                    packed, cells, info, npoint, outdir = item
+                    buf = np.asarray(packed)          # the one big fetch
+                    shp = (3,) + self._shape
+                    n = int(np.prod(shp))
+                    st = SimpleNamespace(
+                        A=buf[:n].reshape(shp),
+                        carry=buf[n:2 * n].reshape(shp))
+                    vals = buf[2 * n:]
+                    if cells is not None:             # moving sources
+                        ci = np.asarray(cells)
+                        out_cells, off = [], 0
+                        for c in info.src_cells:
+                            m = int(c.shape[0])
+                            out_cells.append(ci[off:off + m])
+                            off += m
+                    else:
+                        out_cells = info.src_cells    # static: cached fetch
+                    info2 = SimpleNamespace(src_cells=tuple(out_cells),
+                                            src_values=tuple(vals))
+                    vtkio.write_outputs(self._sim, st, info2, npoint, outdir)
             except BaseException as e:  # re-raised on submit/close
                 self._err = e
             finally:
                 self._q.task_done()
 
     def submit(self, state, info, npoint: int, outdir: str) -> None:
-        from types import SimpleNamespace
-
         if self._err is not None:
             raise self._err
-        A, carry = self._copy(state.A, state.carry)
-        # start the D2H transfers now; the worker's np.asarray then sees
-        # ready (or in-flight) buffers instead of initiating serially
-        for arr in (A, carry):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
-        self._q.put((SimpleNamespace(A=A, carry=carry), info, npoint, outdir))
+        if self._shape is None:
+            self._shape = tuple(state.A.shape[1:])
+        packed = self._pack_f(state.A, state.carry, tuple(info.src_values))
+        cells = self._pack_i(tuple(info.src_cells)) if self._moving else None
+        # NOTE: no copy_to_host_async here — on the axon backend it runs
+        # the transfer synchronously, serializing exactly the latency this
+        # writer exists to hide; the worker thread initiates the fetch
+        self._q.put((packed, cells, info, npoint, outdir))
 
     def close(self) -> None:
-        self._q.put(None)
-        self._t.join()
+        for _ in self._ts:
+            self._q.put(None)
+        for t in self._ts:
+            t.join()
         if self._err is not None:
             raise self._err
 

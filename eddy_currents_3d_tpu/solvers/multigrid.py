@@ -41,9 +41,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_mg", "MGPreconditioner", "galerkin_coarsen", "stencil7_apply"]
+__all__ = ["build_mg", "MGPreconditioner", "MgUnsupported",
+           "galerkin_coarsen", "stencil7_apply"]
 
 _W = 2.0 / 3.0          # damped-Jacobi weight
+
+# XLA compilation of the V-cycle crashes the TPU compile worker at the
+# 256³-class size (measured round 5: 128x128x64 = 1.05M cells compiles
+# and runs — 207.7 ms/step at 8 iters — while 256x256x64 = 4.2M cells
+# kills the remote tpu_compile_helper with exit 1, an opaque
+# compiler-side failure).  Models above the measured-good size are
+# rejected up front with a typed error instead of a 10-minute compile
+# followed by a raw crash.
+MG_CELL_LIMIT = 2_500_000
+
+
+class MgUnsupported(ValueError):
+    """The model is too large for the mg V-cycle on this backend (see
+    MG_CELL_LIMIT); use jacobi/cheb_jacobi or the unpreconditioned coded
+    path at scale."""
 
 
 def stencil7_apply(ka: jax.Array, x: jax.Array) -> jax.Array:
@@ -187,7 +203,17 @@ def build_mg(ka, ku0=None, min_dim: int = 4, max_levels: int = 10,
              dtype=None) -> MGPreconditioner:
     """Build the V-cycle hierarchy from fine A coefficients ``ka``
     (7, nz, ny, nx) and optional U-row diagonal field ``ku0`` (nz, ny, nx;
-    zeros off-conductor)."""
+    zeros off-conductor).  Raises :class:`MgUnsupported` above
+    MG_CELL_LIMIT cells (compile-worker crash at 256³-class sizes)."""
+    n_cells = int(np.prod(np.asarray(ka).shape[1:]))
+    if n_cells > MG_CELL_LIMIT:
+        raise MgUnsupported(
+            f"precond='mg' supports up to {MG_CELL_LIMIT:,} cells on this "
+            f"backend (model has {n_cells:,}): XLA compilation of the "
+            "V-cycle at the 256³-class size crashes the TPU compile "
+            "worker (measured: 1.05M cells compiles and runs; 4.2M kills "
+            "the remote tpu_compile_helper).  Use precond='jacobi'/"
+            "'cheb_jacobi' or the unpreconditioned coded path at scale.")
     ka_np = np.asarray(ka, np.float64)
     dtype = dtype or jnp.asarray(ka).dtype
 

@@ -158,3 +158,51 @@ def test_scan_checkpoint_resume_past_horizon(tmp_path):
     assert int(diag["start_step"]) == 6
     assert len(np.asarray(diag["iterations"])) == 0
     assert sorted(os.listdir(ckdir)) == before   # no lying ckpt_4.npz
+
+
+def test_resume_without_dir_raises():
+    """Library callers must get an error, not a silent cold start, when
+    resume=True has no checkpoint_dir (round-4 advisor finding)."""
+    model = load_case(case_static(shape_xyz=(12, 12, 10), steps=2))
+    sim = Simulation(model, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        sim.run(resume=True)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        sim.run_scan(resume=True)
+
+
+def test_no_duplicate_final_checkpoint_write(tmp_path, monkeypatch):
+    """When len(steps) is a multiple of checkpoint_every the loop already
+    wrote ckpt_<len>.npz; the final save must not rewrite it (round-4
+    advisor finding) — counted via a save_checkpoint spy."""
+    model = load_case(case_static(shape_xyz=(12, 12, 10), steps=4))
+    calls = []
+    real = ckpt.save_checkpoint
+
+    def spy(path, *a, **kw):
+        calls.append(os.path.basename(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(ckpt, "save_checkpoint", spy)
+    cdir = str(tmp_path / "ck")
+    Simulation(model, dtype=jnp.float64).run(
+        checkpoint_dir=cdir, checkpoint_every=2)
+    assert calls.count("ckpt_4.npz") == 1
+    calls.clear()
+    cdir2 = str(tmp_path / "ck2")
+    Simulation(model, dtype=jnp.float64).run_scan(
+        checkpoint_dir=cdir2, checkpoint_every=2)
+    assert calls.count("ckpt_4.npz") == 1
+
+
+def test_empty_horizon_relres_dtype_matches_live_run(tmp_path):
+    """A zero-step resume must return diagnostics with the same dtypes as
+    a live run (round-4 advisor finding: hardcoded float32 relres)."""
+    model = load_case(case_static(shape_xyz=(12, 12, 10), steps=3))
+    cdir = str(tmp_path / "ck")
+    sim = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64)
+    _, live = sim.run_scan(checkpoint_dir=cdir, checkpoint_every=1)
+    sim2 = Simulation(model, dtype=jnp.float64, dot_dtype=jnp.float64)
+    _, empty = sim2.run_scan(checkpoint_dir=cdir, resume=True)
+    assert len(np.asarray(empty["iterations"])) == 0
+    assert np.asarray(empty["relres"]).dtype == np.asarray(live["relres"]).dtype
