@@ -58,7 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..assembly.stencil import State
 from . import pallas_stencil as ps
 
-__all__ = ["CodedStencilOperator", "from_assembled_coded", "CodedUnsupported"]
+__all__ = ["CodedStencilOperator", "from_assembled_coded",
+           "CodedUnsupported", "traffic_bytes"]
 
 _LANE = 128
 _SUB = 8
@@ -252,6 +253,58 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
     )
 
 
+def traffic_bytes(coded: "CodedStencilOperator") -> int:
+    """Modeled HBM bytes per matvec for the fused coded kernel, matching
+    the actual chunk/tile layout (_apply_fused's CZ/TY selection) and the
+    measured conductor-z DMA gating (air chunks do not move the operands
+    only the conductor branch reads).  Used by bench's roofline so the
+    efficiency metric is against real traffic, not a once-per-operand
+    idealization."""
+    nz, ny, nx = coded.shape_zyx
+    NYp, NXp = coded.padded_yx
+    conv = 3 if coded.has_conv else 0
+    zb0, zb1 = coded.cond_z
+    whole_ok = (19 + conv) * NYp * NXp * 4 <= _WHOLE_PLANE_BUDGET
+    rowb = NXp * 4
+    if whole_ok:
+        per_z = (12 if coded.has_conv else 9) * NYp * NXp * 4
+        CZ = int(max(1, min(8, _CHUNK_BUDGET // per_z)))
+        nk = -(-nz // CZ)
+        n_in = sum(1 for k in range(nk)
+                   if k * CZ < zb1 and (k + 1) * CZ > zb0)
+        plane = NYp * rowb
+        # always: A chunk in/out 6*CZ + 2 three-comp z-neighbor planes +
+        # U out CZ; conductor chunks add U in CZ + 4 U z-planes + code CZ
+        # + cf CZ [+ conv 3*CZ]
+        return (nk * ((6 * CZ + 1 * CZ) * plane + 6 * plane)
+                + n_in * ((2 + conv) * CZ * plane + CZ * plane
+                          + 4 * plane))
+    # y-tiled layout (mirror _apply_fused's TY/CZ choice)
+    sub = _SUB
+    nblk = 13 if coded.has_conv else 10
+    best = None
+    for t in range(sub, NYp, sub):
+        if NYp % t:
+            continue
+        cz = int(max(1, min(8, _CHUNK_BUDGET // (nblk * t * NXp * 4))))
+        cost = (cz + 2) / cz + 3.0 / t
+        if best is None or cost < best[0]:
+            best = (cost, t, cz)
+    _, TY, CZ = best
+    nk = -(-nz // CZ)
+    nyt = NYp // TY
+    n_in = sum(1 for k in range(nk) if k * CZ < zb1 and (k + 1) * CZ > zb0)
+    tp = TY * rowb                   # tile-plane bytes
+    always = nk * nyt * ((3 + 3 + 1) * CZ * tp     # A in/out, U out
+                         + 2 * 3 * tp              # A z-neighbor planes
+                         + 3 * CZ * 8 * rowb)      # ha halo rows
+    gated = n_in * nyt * ((2 + conv) * CZ * tp     # U in, code, cf, conv
+                          + CZ * tp
+                          + 4 * tp                 # U z-planes
+                          + CZ * 8 * rowb)         # hu halo rows
+    return always + gated
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -273,7 +326,7 @@ _WHOLE_PLANE_BUDGET = 4_500_000
 
 
 def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
-                        has_conv, *refs):
+                        has_conv, with_dots, *refs):
     """The whole matvec in one z-chunked pass: the constant+face A stencil
     AND the case-coded conductor work (grad-U, inertia, convection into the
     A rows; the U row) on full (NYp, NXp) planes.  Each grid step computes
@@ -288,15 +341,35 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
     values themselves are zeroed (a trailing partial chunk's padding planes
     hold unspecified values — NaN in interpret mode — and 0*NaN would leak
     otherwise)."""
-    if has_conv:
-        (am_ref, ap_ref, a0_ref,
-         um2_ref, um1_ref, up1_ref, up2_ref, u0_ref,
-         code_ref, cf_ref, conv_ref, yA_ref, yU_ref) = refs
+    refs = list(refs)
+    (am_ref, ap_ref, a0_ref,
+     um2_ref, um1_ref, up1_ref, up2_ref, u0_ref,
+     code_ref, cf_ref) = refs[:10]
+    refs = refs[10:]
+    conv_ref = refs.pop(0) if has_conv else None
+    if with_dots:
+        wa_ref, wu_ref = refs.pop(0), refs.pop(0)
+        yA_ref, yU_ref, dots_ref = refs
     else:
-        (am_ref, ap_ref, a0_ref,
-         um2_ref, um1_ref, up1_ref, up2_ref, u0_ref,
-         code_ref, cf_ref, yA_ref, yU_ref) = refs
-        conv_ref = None
+        yA_ref, yU_ref = refs
+        dots_ref = None
+
+    def _emit(yAv, yUv):
+        """Write outputs; with_dots also writes the per-step partial sums
+        of y·w and y·y (values already in registers — the separate
+        reduction passes these replace each re-read the full state).
+        The y·w product is masked with ``valid`` (closure, late-bound):
+        yAv is already zero outside the grid, but w's padding planes hold
+        unspecified values and 0·NaN would poison the partial."""
+        yA_ref[:] = yAv
+        yU_ref[:] = yUv
+        if with_dots:
+            pw = (jnp.sum(jnp.where(valid[None], yAv * wa_ref[:], 0.0))
+                  + jnp.sum(jnp.where(valid, yUv * wu_ref[:], 0.0)))
+            py = jnp.sum(yAv * yAv) + jnp.sum(yUv * yUv)
+            dots_ref[0, 0, 0] = pw
+            dots_ref[0, 0, 1] = py
+
     s, ds, dt, delta, BND = consts
     a0 = a0_ref[:]                        # (3, CZ, NYp, NXp)
     u0 = u0_ref[:]                        # (CZ, NYp, NXp)
@@ -334,17 +407,23 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
           + cym * ps._roll(a0, 1, 2) + cyp * ps._roll(a0, -1, 2)
           + czm[None] * azm + czp[None] * azp)
 
-    valid = (col < nx) & (row < ny)
+    # valid mask now includes the z extent: a trailing partial chunk's
+    # padding planes hold unspecified values (NaN in interpret mode) —
+    # harmless for the discarded output planes, but the fused dot
+    # partials would sum them
+    valid = (col < nx) & (row < ny) & (gz < nz)
     # conductor z-gating: all U-ladder outputs (gout, yu) are identically
     # zero on non-conducting planes, so chunks that do not intersect the
     # conductor's z-extent [zb0, zb1) skip the whole decode/ladder compute
-    # (pure VPU savings — the z-thin-conductor cases are arithmetic-bound
-    # on small planes; LIM regressed 13 -> 30 us/matvec without this).
-    # Block DMAs still happen either way; traffic is unchanged.  Measured
-    # (round 5): forcing cond_z to the full z extent on TEAM7 moves the
-    # matvec 13.6 -> 21.8 us — the ~8 us delta scales with the number of
-    # ungated planes' *arithmetic*, exactly what unconditional streams +
-    # gated VPU predicts (bench.py's roofline bound now matches this).
+    # AND, measurably, the HBM traffic of the operands only that branch
+    # reads (U/code/cf[/conv] chunks and the U z-planes).  Round-5
+    # measurement on TEAM7: forcing cond_z to the full z extent lands at
+    # 21.8 us == the full 14.4 MB traffic model at the measured stream
+    # bound (641 GB/s), while the gated kernel runs 15.0 us == the model
+    # with air chunks' gated-branch reads removed — 22.5 us of DMA time
+    # cannot compress to 15 us on this HBM, so the bytes are genuinely
+    # not moved.  traffic_bytes() below encodes this model; bench's
+    # roofline uses it.
     zb0, zb1 = cond_z
     inbox = (k * CZ < zb1) & ((k + 1) * CZ > zb0)
 
@@ -383,18 +462,17 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
         conv = conv_ref[:] if has_conv else None
         gout, yu = _u_body(consts, inertia_on_faces, has_conv,
                            code_ref[:], cf_ref[:], conv, u0, un, a0, aan)
-        yA_ref[:] = jnp.where(valid[None, None],
-                              yA + jnp.stack(gout), c(0.0))
-        yU_ref[:] = jnp.where(valid[None], yu, c(0.0))
+        _emit(jnp.where(valid[None], yA + jnp.stack(gout), c(0.0)),
+              jnp.where(valid, yu, c(0.0)))
 
     @pl.when(jnp.logical_not(inbox))
     def _air_chunk():
-        yA_ref[:] = jnp.where(valid[None, None], yA, c(0.0))
-        yU_ref[:] = jnp.zeros_like(yU_ref)
+        _emit(jnp.where(valid[None], yA, c(0.0)),
+              jnp.zeros(yU_ref.shape, dt_))
 
 
 def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
-                           inertia_on_faces, has_conv, *refs):
+                           inertia_on_faces, has_conv, with_dots, *refs):
     """Y-tiled variant of :func:`_fused_kernel_chunk` for grids whose
     (y, x) planes exceed the whole-plane VMEM budget (the BASELINE
     256³-class).  Grid is (z-chunk, y-tile); y-shifts cross tile
@@ -407,15 +485,31 @@ def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
     are zero-filled, matching the whole-plane kernel's invariants (zero
     closed-form face coefficients for the A stencil, code = 0 in the
     conductor box's ≥2-cell halo and in padding for the U ladder)."""
-    if has_conv:
-        (am_ref, ap_ref, ha_ref, a0_ref,
-         um2_ref, um1_ref, up1_ref, up2_ref, hu_ref, u0_ref,
-         code_ref, cf_ref, conv_ref, yA_ref, yU_ref) = refs
+    refs = list(refs)
+    (am_ref, ap_ref, ha_ref, a0_ref,
+     um2_ref, um1_ref, up1_ref, up2_ref, hu_ref, u0_ref,
+     code_ref, cf_ref) = refs[:12]
+    refs = refs[12:]
+    conv_ref = refs.pop(0) if has_conv else None
+    if with_dots:
+        wa_ref, wu_ref = refs.pop(0), refs.pop(0)
+        yA_ref, yU_ref, dots_ref = refs
     else:
-        (am_ref, ap_ref, ha_ref, a0_ref,
-         um2_ref, um1_ref, up1_ref, up2_ref, hu_ref, u0_ref,
-         code_ref, cf_ref, yA_ref, yU_ref) = refs
-        conv_ref = None
+        yA_ref, yU_ref = refs
+        dots_ref = None
+
+    def _emit(yAv, yUv):
+        # see the whole-plane kernel's _emit: mask the y·w product — w's
+        # padding planes are unspecified and 0·NaN would poison it
+        yA_ref[:] = yAv
+        yU_ref[:] = yUv
+        if with_dots:
+            pw = (jnp.sum(jnp.where(valid[None], yAv * wa_ref[:], 0.0))
+                  + jnp.sum(jnp.where(valid, yUv * wu_ref[:], 0.0)))
+            py = jnp.sum(yAv * yAv) + jnp.sum(yUv * yUv)
+            dots_ref[0, 0, 0, 0] = pw
+            dots_ref[0, 0, 0, 1] = py
+
     s, ds, dt, delta, BND = consts
     a0 = a0_ref[:]                        # (3, CZ, TY, NXp)
     u0 = u0_ref[:]                        # (CZ, TY, NXp)
@@ -456,7 +550,7 @@ def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
           + cym * ay_m1 + cyp * ay_p1
           + czm[None] * azm + czp[None] * azp)
 
-    valid = (col < nx) & (row < ny)
+    valid = (col < nx) & (row < ny) & (gz < nz)   # incl. trailing z chunk
     zb0, zb1 = cond_z
     inbox = (k * CZ < zb1) & ((k + 1) * CZ > zb0)
 
@@ -502,17 +596,16 @@ def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
         conv = conv_ref[:] if has_conv else None
         gout, yu = _u_body(consts, inertia_on_faces, has_conv,
                            code_ref[:], cf_ref[:], conv, u0, un, a0, aan)
-        yA_ref[:] = jnp.where(valid[None, None],
-                              yA + jnp.stack(gout), c(0.0))
-        yU_ref[:] = jnp.where(valid[None], yu, c(0.0))
+        _emit(jnp.where(valid[None], yA + jnp.stack(gout), c(0.0)),
+              jnp.where(valid, yu, c(0.0)))
 
     @pl.when(jnp.logical_not(inbox))
     def _air_chunk():
-        yA_ref[:] = jnp.where(valid[None, None], yA, c(0.0))
-        yU_ref[:] = jnp.zeros_like(yU_ref)
+        _emit(jnp.where(valid[None], yA, c(0.0)),
+              jnp.zeros(yU_ref.shape, dt_))
 
 
-def _apply_fused_yt(coded, A_p, U_p, CZ: int, TY: int):
+def _apply_fused_yt(coded, A_p, U_p, CZ: int, TY: int, dots_w=None):
     """pallas_call wiring for the y-tiled fused kernel (TY < NYp)."""
     nz, ny, nx = coded.shape_zyx
     NYp, NXp = coded.padded_yx
@@ -557,11 +650,11 @@ def _apply_fused_yt(coded, A_p, U_p, CZ: int, TY: int):
         memory_space=pltpu.VMEM)
     a_plane = lambda fk: pl.BlockSpec(
         (3, 1, TY, NXp),
-        ps._i32map(lambda k, j: (0, jnp.clip(fk(k), 0, nz - 1), j, 0)),
+        ps._i32map(lambda k, j: (0, ps._clamp(fk(k), nz), j, 0)),
         memory_space=pltpu.VMEM)
     u_plane = lambda fk: pl.BlockSpec(
         (1, TY, NXp),
-        ps._i32map(lambda k, j: (jnp.clip(fk(k), 0, nz - 1), j, 0)),
+        ps._i32map(lambda k, j: (ps._clamp(fk(k), nz), j, 0)),
         memory_space=pltpu.VMEM)
     in_specs = [
         a_plane(lambda k: k * CZ - 1),
@@ -582,21 +675,29 @@ def _apply_fused_yt(coded, A_p, U_p, CZ: int, TY: int):
     if coded.has_conv:
         in_specs.append(a_chunk)
         args.append(coded.conv_p)
+    out_specs = [a_chunk, u_chunk]
+    out_shape = [jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
+                 jax.ShapeDtypeStruct(U_p.shape, U_p.dtype)]
+    if dots_w is not None:
+        in_specs += [a_chunk, u_chunk]
+        args += [dots_w[0], dots_w[1]]
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, 2), ps._i32map(lambda k, j: (k, j, 0, 0)),
+            memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nk, nyt, 1, 2), A_p.dtype))
     return pl.pallas_call(
         partial(_fused_kernel_chunk_yt, nx, ny, nz, CZ, TY, coded.cond_z,
-                coded.consts, coded.inertia_on_faces, coded.has_conv),
+                coded.consts, coded.inertia_on_faces, coded.has_conv,
+                dots_w is not None),
         grid=(nk, nyt),
         in_specs=in_specs,
-        out_specs=(a_chunk, u_chunk),
-        out_shape=(
-            jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
-            jax.ShapeDtypeStruct(U_p.shape, U_p.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=ps.INTERPRET,
     )(*args)
 
 
-def _apply_fused(coded, A_p, U_p, CZ: int = 0):
+def _apply_fused(coded, A_p, U_p, CZ: int = 0, dots_w=None):
     nz, ny, nx = coded.shape_zyx
     NYp, NXp = coded.padded_yx
     whole_ok = ((19 + (3 if coded.has_conv else 0)) * NYp * NXp * 4
@@ -622,7 +723,7 @@ def _apply_fused(coded, A_p, U_p, CZ: int = 0):
         if best is not None:
             _, TY, CZy = best
             return _apply_fused_yt(coded, A_p, U_p, CZ if CZ > 0 else CZy,
-                                   TY)
+                                   TY, dots_w=dots_w)
         # NYp == sub: nothing to tile — fall through (whole-plane)
     if CZ <= 0:
         # chunk depth bounded by a per-chunk in+out budget: 9 (+3 with
@@ -643,11 +744,11 @@ def _apply_fused(coded, A_p, U_p, CZ: int = 0):
     # the kernel value-masks any plane that is logically out of grid)
     a_plane = lambda fk: pl.BlockSpec(
         (3, 1, NYp, NXp),
-        ps._i32map(lambda k: (0, jnp.clip(fk(k), 0, nz - 1), 0, 0)),
+        ps._i32map(lambda k: (0, ps._clamp(fk(k), nz), 0, 0)),
         memory_space=pltpu.VMEM)
     u_plane = lambda fk: pl.BlockSpec(
         (1, NYp, NXp),
-        ps._i32map(lambda k: (jnp.clip(fk(k), 0, nz - 1), 0, 0)),
+        ps._i32map(lambda k: (ps._clamp(fk(k), nz), 0, 0)),
         memory_space=pltpu.VMEM)
     in_specs = [
         a_plane(lambda k: k * CZ - 1),
@@ -665,16 +766,26 @@ def _apply_fused(coded, A_p, U_p, CZ: int = 0):
     if coded.has_conv:
         in_specs.append(a_chunk)
         args.append(coded.conv_p)
+    out_specs = [a_chunk, u_chunk]
+    out_shape = [jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
+                 jax.ShapeDtypeStruct(U_p.shape, U_p.dtype)]
+    if dots_w is not None:
+        in_specs += [a_chunk, u_chunk]
+        args += [dots_w[0], dots_w[1]]
+        # SMEM blocks still need trailing dims equal to the array dims,
+        # hence the unit middle axis
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 2), ps._i32map(lambda k: (k, 0, 0)),
+            memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nk, 1, 2), A_p.dtype))
     return pl.pallas_call(
         partial(_fused_kernel_chunk, nx, ny, nz, CZ, coded.cond_z,
-                coded.consts, coded.inertia_on_faces, coded.has_conv),
+                coded.consts, coded.inertia_on_faces, coded.has_conv,
+                dots_w is not None),
         grid=(nk,),
         in_specs=in_specs,
-        out_specs=(a_chunk, u_chunk),
-        out_shape=(
-            jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
-            jax.ShapeDtypeStruct(U_p.shape, U_p.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=ps.INTERPRET,
     )(*args)
 
@@ -800,3 +911,13 @@ class CodedStencilOperator:
     def apply(self, x: State) -> State:
         yA, yU = _apply_fused(self, x.A, x.U)
         return State(yA, yU)
+
+    def apply_dots(self, x: State, w: State):
+        """(y, dot(y, w), dot(y, y)) with both reductions fused into the
+        matvec kernel as per-grid-step SMEM partials — the solver's
+        separate reduction passes each re-read the full state, while here
+        the values are already in registers.  Partials and their final
+        sum are f32 (use the unfused path for dot_dtype runs)."""
+        yA, yU, parts = _apply_fused(self, x.A, x.U, dots_w=(w.A, w.U))
+        flat = parts.reshape(-1, 2)
+        return State(yA, yU), jnp.sum(flat[:, 0]), jnp.sum(flat[:, 1])

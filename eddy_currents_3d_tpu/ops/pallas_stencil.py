@@ -73,6 +73,14 @@ def _pad3(arr: np.ndarray, NYp: int, NXp: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+def _clamp(v, n):
+    """0 <= v <= n-1 for index maps, via max/min with Python-int bounds:
+    jnp.clip embeds its bounds as i64 constants under x64 and emits a
+    scalar i64->i32 convert that Mosaic cannot lower (it recurses in
+    _convert_helper); maximum/minimum keep weak Python ints at i32."""
+    return jnp.minimum(jnp.maximum(v, 0), n - 1)
+
+
 def _i32map(f):
     """Force a BlockSpec index map to yield int32 indices: under x64 mode
     Python-int constants in the map trace as i64 and Mosaic rejects the
@@ -160,7 +168,7 @@ def _apply_a(ka_p: jax.Array, A_p: jax.Array) -> jax.Array:
     if NYp % TY:  # NYp is a multiple of sub, TY too; repad via smaller tile
         TY = next(t for t in range(TY, sub - 1, -sub) if NYp % t == 0)
     nyt = NYp // TY
-    clamp = lambda v, n: jnp.clip(v, 0, n - 1)
+    clamp = _clamp
     plane = lambda *lead: pl.BlockSpec(
         lead + (1, TY, NXp),
         _i32map(lambda z, j, _n=len(lead): (0,) * _n + (z, j, 0)),
@@ -272,7 +280,7 @@ def _apply_u(gu_p, ku_p, da_p, Ub_p, Ab_p):
     if BYp % TY:
         TY = next(t for t in range(TY, sub - 1, -sub) if BYp % t == 0)
     nyt = BYp // TY
-    clampj = lambda v: jnp.clip(v, 0, nyt - 1)
+    clampj = lambda v: _clamp(v, nyt)
     u_at = lambda fz, fj=lambda j: j: pl.BlockSpec(
         (1, TY, BXp), _i32map(lambda z, j: (fz(z), clampj(fj(j)), 0)),
         memory_space=pltpu.VMEM,

@@ -581,9 +581,17 @@ class Simulation:
                     lmax=lmax, dot_dtype=self.dot_dtype,
                 )
             else:
+                # fused matvec+reduction hook on the coded operator: the
+                # right-scaled operator is A D^-1 v, so the kernel's dot
+                # partners are in the scaled space directly
+                mvd = (
+                    (lambda v, w: pad_op.apply_dots(mul(inv, v), w))
+                    if self.coded_op is not None and self.dot_dtype is None
+                    else None)
                 res = bicgstab_wr(
                     scaled, bb, mul(d, xx0),
                     tol, model.solver.itmax, dot_dtype=self.dot_dtype,
+                    mv_dot=mvd,
                 )
             sol_x = mul(inv, res.x)
         elif self.precond == "mg":
@@ -612,8 +620,12 @@ class Simulation:
             )
             sol_x = res.x
         else:
+            mvd = (pad_op.apply_dots
+                   if self.coded_op is not None and self.dot_dtype is None
+                   else None)
             res = bicgstab_wr(
-                apply_fn, bb, xx0, tol, model.solver.itmax, dot_dtype=self.dot_dtype,
+                apply_fn, bb, xx0, tol, model.solver.itmax,
+                dot_dtype=self.dot_dtype, mv_dot=mvd,
             )
             sol_x = res.x
         sol = pad_op.unpad_state(sol_x) if pad_op is not None else sol_x

@@ -69,12 +69,18 @@ class _Carry(NamedTuple):
     r: object
     r0: object
     p: object
+    # dot(r, r0), carried across iterations: the value the loop top would
+    # recompute is bit-identical to what the previous iteration already
+    # produced (rr0_new when not restarting, dot(r,r) == the norm's own
+    # reduction on restart since r0 := r), so carrying it removes one
+    # full-state reduction pass per iteration
+    rr0: jax.Array
     it: jax.Array
     relres: jax.Array
     done: jax.Array
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("dot_dtype",))
+@partial(jax.jit, static_argnums=(0,), static_argnames=("dot_dtype", "mv_dot"))
 def bicgstab_wr(
     apply_fn: Callable,
     b,
@@ -82,12 +88,18 @@ def bicgstab_wr(
     tol,
     itmax,
     dot_dtype: Optional[jnp.dtype] = None,
+    mv_dot: Optional[Callable] = None,
 ) -> SolveResult:
     """Solve ``A x = b`` with restarted BiCGSTAB.
 
     ``apply_fn``: the matrix-vector product on the pytree space.
     ``dot_dtype``: accumulate reductions in this dtype (e.g. float64 on CPU
     validation runs); default = operand dtype.
+    ``mv_dot``: optional fused matvec+reductions hook,
+    ``mv_dot(v, w) -> (A v, dot(A v, w), dot(A v, A v))`` — when given,
+    the per-iteration ``ap·r0`` / ``as·s`` / ``as·as`` reductions ride the
+    matvec kernels instead of re-reading the full state (the coded Pallas
+    operator provides this; identical recurrence, reduction order only).
     """
     dot = partial(tree_dot, dtype=dot_dtype)
     nrm = partial(tree_norm, dtype=dot_dtype)
@@ -101,15 +113,23 @@ def bicgstab_wr(
 
     def body(c: _Carry) -> _Carry:
         it = c.it + 1
-        ap = apply_fn(c.p)
-        rr0 = dot(c.r, c.r0)
-        alpha = rr0 / dot(ap, c.r0)
+        rr0 = c.rr0                       # == dot(c.r, c.r0), carried
+        if mv_dot is None:
+            ap = apply_fn(c.p)
+            ap_r0 = dot(ap, c.r0)
+        else:
+            ap, ap_r0, _ = mv_dot(c.p, c.r0)
+        alpha = rr0 / ap_r0
         s = tree_axpy(-alpha, ap, c.r)
         s_rel = nrm(s) / bnorm
         conv_s = s_rel < tol
 
-        as_ = apply_fn(s)
-        omega = dot(as_, s) / dot(as_, as_)
+        if mv_dot is None:
+            as_ = apply_fn(s)
+            omega = dot(as_, s) / dot(as_, as_)
+        else:
+            as_, as_s, as_as = mv_dot(s, s)
+            omega = as_s / as_as
         # On the half-step exit the reference sets x += alpha*p only
         # (solvers.f90:34-38) and the loop terminates, so r/r0/p are dead
         # after this iteration: gating omega (and below beta) to 0 gives the
@@ -121,7 +141,8 @@ def bicgstab_wr(
             c.x, c.p, s,
         )
         r_new = tree_axpy(-omega_g, as_, s)
-        r_rel = nrm(r_new) / bnorm
+        rr = dot(r_new, r_new)
+        r_rel = jnp.sqrt(rr) / bnorm
         conv_r = r_rel < tol
 
         rr0_new = dot(r_new, c.r0)
@@ -143,6 +164,9 @@ def bicgstab_wr(
             r=r_new,
             r0=r0_new,
             p=p_new,
+            # next iteration's dot(r, r0): on restart r0 := r, so it is
+            # the freshly computed dot(r,r); otherwise rr0_new verbatim
+            rr0=jnp.where(restart, rr, rr0_new),
             it=it,
             relres=jnp.where(conv_s, s_rel, r_rel),
             done=conv_s | conv_r,
@@ -150,6 +174,7 @@ def bicgstab_wr(
 
     init = _Carry(
         x=x0, r=r, r0=r, p=r,
+        rr0=dot(r, r),                    # r0 == r at entry
         it=jnp.asarray(0, jnp.int32),
         relres=jnp.asarray(jnp.inf, bnorm.dtype),
         done=zero_b,

@@ -258,3 +258,42 @@ def test_conductor_touching_z_face(rng):
     model = load_case(make_vxc_text((nx, ny, nz), 0.004, names, geo.ravel()))
     coded = _check_case(model, rng)
     assert coded.cond_z[0] == 0
+
+
+def _check_apply_dots(model, rng, monkeypatch=None, force_ytiled=False):
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    if force_ytiled:
+        monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    sysm = assemble_operator(model, jnp.float32)
+    coded = from_assembled_coded(sysm, model)
+    x = coded.pad_state(_rand_state(model, sysm, rng))
+    w = coded.pad_state(_rand_state(model, sysm,
+                                    np.random.default_rng(7)))
+    prev = ps.INTERPRET
+    ps.INTERPRET = True
+    try:
+        y, y_w, y_y = jax.jit(coded.apply_dots)(x, w)
+        y_ref = jax.jit(coded.apply)(x)
+    finally:
+        ps.INTERPRET = prev
+    np.testing.assert_array_equal(np.asarray(y.A), np.asarray(y_ref.A))
+    np.testing.assert_array_equal(np.asarray(y.U), np.asarray(y_ref.U))
+    ref_w = float(np.vdot(np.asarray(y.A, np.float64), np.asarray(w.A, np.float64))
+                  + np.vdot(np.asarray(y.U, np.float64), np.asarray(w.U, np.float64)))
+    ref_y = float(np.vdot(np.asarray(y.A, np.float64), np.asarray(y.A, np.float64))
+                  + np.vdot(np.asarray(y.U, np.float64), np.asarray(y.U, np.float64)))
+    assert abs(float(y_w) - ref_w) < 2e-5 * max(abs(ref_w), 1.0)
+    assert abs(float(y_y) - ref_y) < 2e-5 * max(abs(ref_y), 1.0)
+
+
+def test_apply_dots_whole_plane(rng):
+    """Fused matvec+reduction outputs: y identical to apply(); the two
+    dots match f64 reference reductions to f32 accumulation accuracy."""
+    model = load_case(case_static(shape_xyz=(18, 16, 14), steps=2))
+    _check_apply_dots(model, rng)
+
+
+def test_apply_dots_ytiled(rng, monkeypatch):
+    model = load_case(case_static(shape_xyz=(18, 18, 12), steps=2))
+    _check_apply_dots(model, rng, monkeypatch, force_ytiled=True)
