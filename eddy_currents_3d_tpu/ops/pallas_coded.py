@@ -17,12 +17,15 @@ But the assembled coefficients carry almost no information:
 So the coded operator streams ONE int32 code field and ONE C field (plus
 optional convection fields when a conductor moves) and computes every
 coefficient in-register from static constants: VPU flops are free next to
-HBM bytes on TPU.  The whole matvec — constant+face A stencil, grad-U,
-inertia, convection, U row — is ONE fused z-chunked kernel, over full
-(y, x) planes when they fit VMEM and over y-tiles with pre-extracted
-boundary halo rows at the BASELINE 256³-class plane sizes, so each
-operand streams ~once per matvec (the A chunk ~(CZ+2)/CZ times) and
-there is no box slice/update round-trip.
+HBM bytes on TPU.  When the (y, x) planes fit VMEM the whole matvec —
+constant+face A stencil, grad-U, inertia, convection, U row — is ONE
+fused z-chunked kernel, so each operand streams ~once per matvec (the A
+chunk ~(CZ+2)/CZ times) with no box slice/update round-trip.  At the
+BASELINE 256³-class plane sizes the matvec is TWO y-tiled kernels (see
+:class:`YtPlan`): a stencil kernel that touches nothing but A, and a
+conductor-slab kernel over a z-COMPACT U layout — air chunks pay zero
+U/code/cf traffic and the solver's U-space vectors shrink by nz/nzc
+(8x on the 256×256×64 case, ~30% off the whole BiCGSTAB step).
 Measured effect: see bench roofline (the matvec runs within a few % of
 the pure minimum-traffic streaming bound).
 
@@ -48,6 +51,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 from functools import partial
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -177,8 +181,8 @@ def _closed_ka(model, s) -> np.ndarray:
     return ka
 
 
-def from_assembled_coded(system, model, inertia_on_faces: bool = False
-                         ) -> "CodedStencilOperator":
+def from_assembled_coded(system, model, inertia_on_faces: bool = False,
+                         compact_u: bool = True) -> "CodedStencilOperator":
     """Encode + prove + pack.  Raises :class:`CodedUnsupported` when the
     assembled fields are not exactly reproducible from the code."""
     op = system.op
@@ -250,6 +254,7 @@ def from_assembled_coded(system, model, inertia_on_faces: bool = False
                       for row in np.asarray(model.solver.BND))),
         inertia_on_faces=bool(inertia_on_faces),
         has_conv=has_conv,
+        compact_u=bool(compact_u),
     )
 
 
@@ -279,30 +284,24 @@ def traffic_bytes(coded: "CodedStencilOperator") -> int:
         return (nk * ((6 * CZ + 1 * CZ) * plane + 6 * plane)
                 + n_in * ((2 + conv) * CZ * plane + CZ * plane
                           + 4 * plane))
-    # y-tiled layout (mirror _apply_fused's TY/CZ choice)
-    sub = _SUB
-    nblk = 13 if coded.has_conv else 10
-    best = None
-    for t in range(sub, NYp, sub):
-        if NYp % t:
-            continue
-        cz = int(max(1, min(8, _CHUNK_BUDGET // (nblk * t * NXp * 4))))
-        cost = (cz + 2) / cz + 3.0 / t
-        if best is None or cost < best[0]:
-            best = (cost, t, cz)
-    _, TY, CZ = best
-    nk = -(-nz // CZ)
-    nyt = NYp // TY
-    n_in = sum(1 for k in range(nk) if k * CZ < zb1 and (k + 1) * CZ > zb0)
+    # y-tiled split kernels (mirror _yt_plan)
+    plan = _yt_plan(coded)
+    TY, cza, czb, k0, k1, uz0, nzc = plan
     tp = TY * rowb                   # tile-plane bytes
-    always = nk * nyt * ((3 + 3 + 1) * CZ * tp     # A in/out, U out
-                         + 2 * 3 * tp              # A z-neighbor planes
-                         + 3 * CZ * 8 * rowb)      # ha halo rows
-    gated = n_in * nyt * ((2 + conv) * CZ * tp     # U in, code, cf, conv
-                          + CZ * tp
-                          + 4 * tp                 # U z-planes
-                          + CZ * 8 * rowb)         # hu halo rows
-    return always + gated
+    nyt = NYp // TY
+    nka = -(-nz // cza)
+    nkb = k1 - k0
+    stencil = nka * nyt * (6 * cza * tp            # A in + yA out
+                           + 2 * 3 * tp            # A z-neighbor planes
+                           + 3 * cza * 8 * rowb)   # ha halo rows
+    slab = nkb * nyt * ((9 + 3 * conv) * czb * tp  # yb, A in, yA out
+                        + 2 * 3 * tp               # A z-neighbor planes
+                        + 3 * czb * 8 * rowb       # ha halo rows
+                        + 4 * czb * tp             # U in, code, cf, yU
+                        + 4 * tp                   # U z-planes
+                        + czb * 8 * rowb)          # hu halo rows
+    splice = 2 * 3 * min(nzc, nz - uz0) * NYp * rowb   # slab A splice
+    return stencil + slab + splice
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +322,84 @@ _CHUNK_BUDGET = 2_000_000
 # (neighbor y-tiles + _shift_y row stitching, like the field kernels);
 # tests shrink it to force the tiled path on small grids.
 _WHOLE_PLANE_BUDGET = 4_500_000
+
+# per-pallas-call block-footprint budget for the y-tiled SPLIT kernels
+# (stencil + conductor-slab, see _yt_plan): the sum of all BlockSpec block
+# sizes must stay under this or the Mosaic compile crashes on v5e (the
+# double-buffered footprint hits the 16 MB VMEM wall; measured boundary
+# ~6 MB of declared blocks).  Tests shrink it to force small tiles (real
+# cross-tile y-stitching) on small grids.
+_YT_BLOCK_BUDGET = 5_500_000
+
+
+class YtPlan(NamedTuple):
+    """Static layout of the y-tiled split kernels for one operator.
+
+    The 256³-class matvec is TWO pallas calls (round-5 redesign, replacing
+    the single fused y-tiled kernel whose air chunks streamed the full
+    U/code/cf operands for nothing — DMA gating by ``pl.when`` does not
+    elide block fetches on this path, measured: air-only == full time):
+
+    * a *stencil* kernel over every z-chunk: the constant+face A stencil
+      only — no U, no code, no cf traffic;
+    * a *slab* kernel over just the chunks intersecting the conductor
+      z-extent ``cond_z``: reads the stencil kernel's output chunk, adds
+      grad-U/inertia/convection to the A rows and emits the U row — over a
+      z-COMPACT U layout (``nzc`` planes starting at ``uz0``) so U-space
+      vectors shrink by nz/nzc for thin conductors (8x at the BASELINE
+      256³ case, where the conductor spans 5 of 64 planes).
+    """
+    TY: int      # y-tile rows (divisor of NYp)
+    cza: int     # stencil-kernel chunk depth
+    czb: int     # slab-kernel chunk depth
+    k0: int      # first conductor chunk (czb units)
+    k1: int      # one past the last conductor chunk
+    uz0: int     # first compact-U plane == k0 * czb
+    nzc: int     # compact-U planes == (k1 - k0) * czb
+
+
+def _yt_plan(coded) -> Optional[YtPlan]:
+    """Tile/chunk/slab plan for the split kernels, or None when the
+    whole-plane fused kernel applies.  Pure function of static operator
+    metadata — pad_state/apply/bench all recompute it consistently."""
+    nz, ny, nx = coded.shape_zyx
+    NYp, NXp = coded.padded_yx
+    conv = 1 if coded.has_conv else 0
+    if (19 + 3 * conv) * NYp * NXp * 4 <= _WHOLE_PLANE_BUDGET:
+        return None
+    X4 = NXp * 4
+
+    def foot_a(t, cz):      # stencil kernel blocks, dots worst case
+        return (3 * cz * t * 3 + 6 * t + 24 * cz) * X4
+
+    def foot_b(t, cz):      # slab kernel blocks, dots worst case
+        return ((3 + 1 + conv) * 3 * cz * t + 6 * t + 24 * cz
+                + (4 + 1) * cz * t + 4 * t + 8 * cz) * X4
+
+    # stencil-kernel streaming cost: the A chunk restreams its z-neighbor
+    # planes (cz+2)/cz times, halo rows add ~3/t; minimize over (t, cz)
+    # pairs whose blocks fit both kernels' budgets, tie-break wider tiles
+    # (longer contiguous DMA segments, measured faster on v5e)
+    divs = [t for t in range(_SUB, NYp + 1, _SUB) if NYp % t == 0]
+    best = None
+    for t in sorted(divs, reverse=True):
+        ca = next((cz for cz in range(8, 0, -1)
+                   if foot_a(t, cz) <= _YT_BLOCK_BUDGET), None)
+        cb = next((cz for cz in range(8, 0, -1)
+                   if foot_b(t, cz) <= _YT_BLOCK_BUDGET), None)
+        if not (ca and cb):
+            continue
+        cost = (ca + 2) / ca + 3.0 / t
+        if best is None or cost < best[0]:
+            best = (cost, t, ca, cb)
+    if best is None:
+        TY, cza, czb = divs[0], 1, 1
+    else:
+        _, TY, cza, czb = best
+    zb0, zb1 = coded.cond_z
+    k0 = zb0 // czb
+    k1 = -(-zb1 // czb)
+    return YtPlan(TY, cza, czb, k0, k1, k0 * czb, (k1 - k0) * czb)
 
 
 def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
@@ -471,119 +548,194 @@ def _fused_kernel_chunk(nx, ny, nz, CZ, cond_z, consts, inertia_on_faces,
               jnp.zeros(yU_ref.shape, dt_))
 
 
-def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
-                           inertia_on_faces, has_conv, with_dots, *refs):
-    """Y-tiled variant of :func:`_fused_kernel_chunk` for grids whose
-    (y, x) planes exceed the whole-plane VMEM budget (the BASELINE
-    256³-class).  Grid is (z-chunk, y-tile); y-shifts cross tile
-    boundaries by stitching the 2 (A) / 4 (U) pre-extracted boundary
-    *rows* of the neighbor tiles — streamed as tiny side arrays rather
-    than whole neighbor blocks, so each operand still moves ~(CZ+2)/CZ
-    times per matvec (streaming the jy±1 blocks instead measured the
-    matvec at ~0.9x the field kernels; halo rows take it to ~2x).  Face
-    masks use the *global* row index.  Halo rows at jy = 0 / jy = nyt−1
-    are zero-filled, matching the whole-plane kernel's invariants (zero
-    closed-form face coefficients for the A stencil, code = 0 in the
-    conductor box's ≥2-cell halo and in padding for the U ladder)."""
+def _yx_masks(nx, ny, TY, NXp, consts, dt_, j):
+    """Shared per-grid-step (TY, NXp) face masks / closed-form in-plane
+    coefficients of the A stencil (global row index: face membership must
+    not depend on the tile)."""
+    s, ds, dt, delta, BND = consts
+    c = lambda v: jnp.asarray(v, dt_)
+    sx, sy, sz = s
+    row = j * TY + jax.lax.broadcasted_iota(jnp.int32, (TY, NXp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TY, NXp), 1)
+    fxm, fxp = col == 0, col == nx - 1
+    fym, fyp = row == 0, row == ny - 1
+    cxm = jnp.where(fxm, c(0.0), jnp.where(fxp, c(BND[0][0] * sx), c(-sx)))
+    cxp = jnp.where(fxp, c(0.0), jnp.where(fxm, c(BND[0][1] * sx), c(-sx)))
+    cym = jnp.where(fym, c(0.0), jnp.where(fyp, c(BND[1][0] * sy), c(-sy)))
+    cyp = jnp.where(fyp, c(0.0), jnp.where(fym, c(BND[1][1] * sy), c(-sy)))
+    diag_yx = (jnp.where(fxm | fxp, c(sx), c(2.0 * sx))
+               + jnp.where(fym | fyp, c(sy), c(2.0 * sy)))
+    valid_yx = (col < nx) & (row < ny)
+    return cxm, cxp, cym, cyp, diag_yx, valid_yx
+
+
+def _stencil_plane(nx, ny, nz, consts, masks, gz, a0p, hap, a_m1, a_p1):
+    """One plane of the constant+face A stencil.  ``a_m1``/``a_p1`` are
+    the z-neighbor planes (already chosen from chunk or neighbor blocks);
+    halo rows ``hap`` stitch the cross-tile y-shifts.  Returns
+    (yA_plane, ay_m1, ay_p1, azm, azp, valid) so the slab kernel can
+    reuse the neighbor views."""
+    s, ds, dt, delta, BND = consts
+    dt_ = a0p.dtype
+    c = lambda v: jnp.asarray(v, dt_)
+    sz = s[2]
+    cxm, cxp, cym, cyp, diag_yx, valid_yx = masks
+    TY = a0p.shape[1]
+    zm, zp = gz == 0, gz == nz - 1
+    ay_m1 = jnp.concatenate([hap[:, 0:1], a0p[:, :TY - 1]], axis=1)
+    ay_p1 = jnp.concatenate([a0p[:, 1:], hap[:, 1:2]], axis=1)
+    czm = jnp.where(zm, c(0.0), jnp.where(zp, c(BND[2][0] * sz), c(-sz)))
+    czp = jnp.where(zp, c(0.0), jnp.where(zm, c(BND[2][1] * sz), c(-sz)))
+    # z neighbors value-zeroed beyond the grid (clamped block indices
+    # leave out-of-grid neighbor planes unspecified)
+    azm = jnp.where(zm, c(0.0), a_m1)
+    azp = jnp.where(zp, c(0.0), a_p1)
+    dg = diag_yx + jnp.where(zm | zp, c(sz), c(2.0 * sz))
+    yA = (dg[None] * a0p
+          + cxm * ps._roll(a0p, 1, 2) + cxp * ps._roll(a0p, -1, 2)
+          + cym * ay_m1 + cyp * ay_p1
+          + czm * azm + czp * azp)
+    valid = valid_yx & (gz < nz)
+    return yA, ay_m1, ay_p1, azm, azp, valid
+
+
+def _stencil_kernel_yt(nx, ny, nz, CZ, TY, uz, consts, with_dots, *refs):
+    """Split-kernel #1: the constant+face A stencil over every z-chunk —
+    no U / code / cf operands at all (the single fused y-tiled kernel it
+    replaces streamed those for every air chunk; ``pl.when`` does not
+    elide block DMAs).  Per-plane unrolled over the chunk so temporaries
+    are plane-sized (chunk-sized scratch crashed the Mosaic compile for
+    any block big enough to stream efficiently).
+
+    With dots, emits per-step partials of y·w and y·y EXCLUDING the
+    conductor plane range ``uz`` — those planes' final y comes from the
+    slab kernel, which owns their partials."""
     refs = list(refs)
-    (am_ref, ap_ref, ha_ref, a0_ref,
+    am_ref, ap_ref, ha_ref, a0_ref = refs[:4]
+    refs = refs[4:]
+    wa_ref = refs.pop(0) if with_dots else None
+    if with_dots:
+        yA_ref, dots_ref = refs
+    else:
+        (yA_ref,) = refs
+    dt_ = a0_ref.dtype
+    c = lambda v: jnp.asarray(v, dt_)
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    NXp = a0_ref.shape[-1]
+    masks = _yx_masks(nx, ny, TY, NXp, consts, dt_, j)
+
+    def a_z(p):
+        if p < 0:
+            return am_ref[:, 0]
+        if p >= CZ:
+            return ap_ref[:, 0]
+        return a0_ref[:, p]
+
+    pw = c(0.0)
+    py = c(0.0)
+    for p in range(CZ):
+        gz = k * CZ + p
+        yA, _, _, _, _, valid = _stencil_plane(
+            nx, ny, nz, consts, masks, gz,
+            a0_ref[:, p], ha_ref[:, p], a_z(p - 1), a_z(p + 1))
+        yAv = jnp.where(valid[None], yA, c(0.0))
+        yA_ref[:, p] = yAv
+        if with_dots:
+            # exclude slab planes (slab kernel owns their partials); mask
+            # the y·w product — w's padding planes are unspecified and
+            # 0·NaN would poison the partial
+            own = jnp.logical_or(gz < uz[0], gz >= uz[1])
+            pw = pw + jnp.where(
+                own, jnp.sum(jnp.where(valid[None], yAv * wa_ref[:, p],
+                                       0.0)), c(0.0))
+            py = py + jnp.where(own, jnp.sum(yAv * yAv), c(0.0))
+    if with_dots:
+        dots_ref[0, 0, 0, 0] = pw
+        dots_ref[0, 0, 0, 1] = py
+
+
+def _slab_kernel_yt(nx, ny, nz, CZ, TY, k0, uz0, nzc, consts,
+                    inertia_on_faces, has_conv, with_dots, *refs):
+    """Split-kernel #2: conductor-slab chunks only (grid z-index kb maps
+    to global chunk kb + k0).  Reads the stencil kernel's output chunk
+    (``yb``) and the A chunk, adds grad-U/inertia/convection to the A
+    rows, and emits the case-coded U row — U operands and outputs in the
+    z-COMPACT layout (planes [uz0, uz0 + nzc) of the padded grid).
+    U values logically outside the compact coverage (or the grid) are
+    value-masked to zero; the corresponding operator columns are zero for
+    every reference-grammar geometry (one-sided conductor-surface
+    stencils point inward, vxc2data.f90:609-622 strips boundary
+    conductors), and the solver invariant keeps those entries zero
+    anyway."""
+    refs = list(refs)
+    (yb_ref, am_ref, ap_ref, ha_ref, a0_ref,
      um2_ref, um1_ref, up1_ref, up2_ref, hu_ref, u0_ref,
-     code_ref, cf_ref) = refs[:12]
-    refs = refs[12:]
+     code_ref, cf_ref) = refs[:13]
+    refs = refs[13:]
     conv_ref = refs.pop(0) if has_conv else None
     if with_dots:
         wa_ref, wu_ref = refs.pop(0), refs.pop(0)
         yA_ref, yU_ref, dots_ref = refs
     else:
         yA_ref, yU_ref = refs
-        dots_ref = None
-
-    def _emit(yAv, yUv):
-        # see the whole-plane kernel's _emit: mask the y·w product — w's
-        # padding planes are unspecified and 0·NaN would poison it
-        yA_ref[:] = yAv
-        yU_ref[:] = yUv
-        if with_dots:
-            pw = (jnp.sum(jnp.where(valid[None], yAv * wa_ref[:], 0.0))
-                  + jnp.sum(jnp.where(valid, yUv * wu_ref[:], 0.0)))
-            py = jnp.sum(yAv * yAv) + jnp.sum(yUv * yUv)
-            dots_ref[0, 0, 0, 0] = pw
-            dots_ref[0, 0, 0, 1] = py
-
-    s, ds, dt, delta, BND = consts
-    a0 = a0_ref[:]                        # (3, CZ, TY, NXp)
-    u0 = u0_ref[:]                        # (CZ, TY, NXp)
-    dt_ = a0.dtype
+    dt_ = a0_ref.dtype
     c = lambda v: jnp.asarray(v, dt_)
-    sx, sy, sz = s
-    k = pl.program_id(0)
+    kb = pl.program_id(0)
     j = pl.program_id(1)
-    row = (j * TY
-           + jax.lax.broadcasted_iota(jnp.int32, a0.shape[2:], 0))
-    col = jax.lax.broadcasted_iota(jnp.int32, a0.shape[2:], 1)
-    fxm, fxp = col == 0, col == nx - 1
-    fym, fyp = row == 0, row == ny - 1
+    NXp = a0_ref.shape[-1]
+    masks = _yx_masks(nx, ny, TY, NXp, consts, dt_, j)
+    # global-plane validity of compact-U reads
+    ulo = max(0, uz0)
+    uhi = min(nz, uz0 + nzc)
 
-    cxm = jnp.where(fxm, c(0.0), jnp.where(fxp, c(BND[0][0] * sx), c(-sx)))
-    cxp = jnp.where(fxp, c(0.0), jnp.where(fxm, c(BND[0][1] * sx), c(-sx)))
-    cym = jnp.where(fym, c(0.0), jnp.where(fyp, c(BND[1][0] * sy), c(-sy)))
-    cyp = jnp.where(fyp, c(0.0), jnp.where(fym, c(BND[1][1] * sy), c(-sy)))
-    gz = k * CZ + jax.lax.broadcasted_iota(jnp.int32, (CZ, 1, 1), 0)
-    zm, zp = gz == 0, gz == nz - 1
-    czm = jnp.where(zm, c(0.0), jnp.where(zp, c(BND[2][0] * sz), c(-sz)))
-    czp = jnp.where(zp, c(0.0), jnp.where(zm, c(BND[2][1] * sz), c(-sz)))
-    diag = (jnp.where(fxm | fxp, c(sx), c(2.0 * sx))
-            + jnp.where(fym | fyp, c(sy), c(2.0 * sy)))[None]
-    diag = diag + jnp.where(zm | zp, c(sz), c(2.0 * sz))
+    def a_z(p):
+        if p < 0:
+            return am_ref[:, 0]
+        if p >= CZ:
+            return ap_ref[:, 0]
+        return a0_ref[:, p]
 
-    azm = jnp.where(zm[None], c(0.0),
-                    jnp.concatenate([am_ref[:], a0], axis=1)[:, :CZ])
-    azp = jnp.where(zp[None], c(0.0),
-                    jnp.concatenate([a0, ap_ref[:]], axis=1)[:, 1:CZ + 1])
-    # y shifts stitch the pre-extracted neighbor boundary rows:
-    # ha = (3, CZ, 2, NXp): [row jy*TY-1, row (jy+1)*TY]
-    ha = ha_ref[:]
-    ay_m1 = jnp.concatenate([ha[:, :, 0:1], a0[:, :, :TY - 1]], axis=2)
-    ay_p1 = jnp.concatenate([a0[:, :, 1:], ha[:, :, 1:2]], axis=2)
-    yA = (diag[None] * a0
-          + cxm * ps._roll(a0, 1, 3) + cxp * ps._roll(a0, -1, 3)
-          + cym * ay_m1 + cyp * ay_p1
-          + czm[None] * azm + czp[None] * azp)
+    def u_z(p):
+        if p == -2:
+            return um2_ref[0]
+        if p == -1:
+            return um1_ref[0]
+        if p == CZ:
+            return up1_ref[0]
+        if p == CZ + 1:
+            return up2_ref[0]
+        return u0_ref[p]
 
-    valid = (col < nx) & (row < ny) & (gz < nz)   # incl. trailing z chunk
-    zb0, zb1 = cond_z
-    inbox = (k * CZ < zb1) & ((k + 1) * CZ > zb0)
+    def u_val(p, gz_p):
+        return jnp.where(jnp.logical_or(gz_p < ulo, gz_p >= uhi),
+                         c(0.0), u_z(p))
 
-    @pl.when(inbox)
-    def _conductor_chunk():
-        um1 = jnp.where(gz - 1 < 0, c(0.0),
-                        jnp.concatenate([um1_ref[:], u0], axis=0)[:CZ])
-        um2 = jnp.where(gz - 2 < 0, c(0.0),
-                        jnp.concatenate([um2_ref[:], um1_ref[:], u0],
-                                        axis=0)[:CZ])
-        up1 = jnp.where(gz + 1 > nz - 1, c(0.0),
-                        jnp.concatenate([u0, up1_ref[:]], axis=0)[1:CZ + 1])
-        up2 = jnp.where(gz + 2 > nz - 1, c(0.0),
-                        jnp.concatenate([u0, up1_ref[:], up2_ref[:]],
-                                        axis=0)[2:CZ + 2])
-        # hu = (CZ, 4, NXp): rows [jy*TY-2, jy*TY-1, (jy+1)*TY, (jy+1)*TY+1]
-        hu = hu_ref[:]
-        uy = {
-            1: jnp.concatenate([hu[:, 1:2], u0[:, :TY - 1]], axis=1),
-            2: jnp.concatenate([hu[:, 0:2], u0[:, :TY - 2]], axis=1),
-            -1: jnp.concatenate([u0[:, 1:], hu[:, 2:3]], axis=1),
-            -2: jnp.concatenate([u0[:, 2:], hu[:, 2:4]], axis=1),
-        }
+    pw = c(0.0)
+    py = c(0.0)
+    for p in range(CZ):
+        gz = (kb + k0) * CZ + p
+        yA, ay_m1, ay_p1, azm, azp, valid = _stencil_plane(
+            nx, ny, nz, consts, masks, gz,
+            a0_ref[:, p], ha_ref[:, p], a_z(p - 1), a_z(p + 1))
+        del yA                      # base stencil comes from yb_ref
+        u0p = u0_ref[p]
+        # hu rows: [jy*TY-2, jy*TY-1, (jy+1)*TY, (jy+1)*TY+1]
+        hup = hu_ref[p]
         un = {
-            (0, -1): ps._roll(u0, 1, 2), (0, +1): ps._roll(u0, -1, 2),
-            (0, -2): ps._roll(u0, 2, 2), (0, +2): ps._roll(u0, -2, 2),
-            (1, -1): uy[1], (1, +1): uy[-1],
-            (1, -2): uy[2], (1, +2): uy[-2],
-            (2, -1): um1, (2, +1): up1,
-            (2, -2): um2, (2, +2): up2,
+            (0, -1): ps._roll(u0p, 1, 1),
+            (0, +1): ps._roll(u0p, -1, 1),
+            (0, -2): ps._roll(u0p, 2, 1),
+            (0, +2): ps._roll(u0p, -2, 1),
+            (1, -1): jnp.concatenate([hup[1:2], u0p[:TY - 1]], 0),
+            (1, +1): jnp.concatenate([u0p[1:], hup[2:3]], 0),
+            (1, -2): jnp.concatenate([hup[0:2], u0p[:TY - 2]], 0),
+            (1, +2): jnp.concatenate([u0p[2:], hup[2:4]], 0),
+            (2, -1): u_val(p - 1, gz - 1), (2, +1): u_val(p + 1, gz + 1),
+            (2, -2): u_val(p - 2, gz - 2), (2, +2): u_val(p + 2, gz + 2),
         }
-        pairs = ([(cc, a) for cc in range(3) for a in range(3)] if has_conv
-                 else [(0, 0), (1, 1), (2, 2)])
+        pairs = ([(cc, a) for cc in range(3) for a in range(3)]
+                 if has_conv else [(0, 0), (1, 1), (2, 2)])
         aan = {}
         for cc, a in pairs:
             if a == 2:
@@ -591,140 +743,246 @@ def _fused_kernel_chunk_yt(nx, ny, nz, CZ, TY, cond_z, consts,
             elif a == 1:
                 aan[(cc, 1)] = (ay_m1[cc], ay_p1[cc])
             else:
-                aan[(cc, 0)] = (ps._roll(a0[cc], 1, 2),
-                                ps._roll(a0[cc], -1, 2))
-        conv = conv_ref[:] if has_conv else None
+                aan[(cc, 0)] = (ps._roll(a0_ref[:, p][cc], 1, 1),
+                                ps._roll(a0_ref[:, p][cc], -1, 1))
+        conv = conv_ref[:, p] if has_conv else None
         gout, yu = _u_body(consts, inertia_on_faces, has_conv,
-                           code_ref[:], cf_ref[:], conv, u0, un, a0, aan)
-        _emit(jnp.where(valid[None], yA + jnp.stack(gout), c(0.0)),
-              jnp.where(valid, yu, c(0.0)))
+                           code_ref[p], cf_ref[p], conv, u0p, un,
+                           a0_ref[:, p], aan)
+        yAv = jnp.where(valid[None], yb_ref[:, p] + jnp.stack(gout), c(0.0))
+        yUv = jnp.where(valid, yu, c(0.0))
+        yA_ref[:, p] = yAv
+        yU_ref[p] = yUv
+        if with_dots:
+            pw = pw + (jnp.sum(jnp.where(valid[None], yAv * wa_ref[:, p],
+                                         0.0))
+                       + jnp.sum(jnp.where(valid, yUv * wu_ref[p], 0.0)))
+            py = py + jnp.sum(yAv * yAv) + jnp.sum(yUv * yUv)
+    if with_dots:
+        dots_ref[0, 0, 0, 0] = pw
+        dots_ref[0, 0, 0, 1] = py
 
-    @pl.when(jnp.logical_not(inbox))
-    def _air_chunk():
-        _emit(jnp.where(valid[None], yA, c(0.0)),
-              jnp.zeros(yU_ref.shape, dt_))
+
+def _zslice_pad(arr, z0, n, axis, nz):
+    """Planes [z0, z0+n) of ``arr`` along ``axis``, zero-padded past nz."""
+    keep = min(n, nz - z0)
+    idx = tuple(slice(None) if d != axis else slice(z0, z0 + keep)
+                for d in range(arr.ndim))
+    out = arr[idx]
+    if keep < n:
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (0, n - keep)
+        out = jnp.pad(out, pad)
+    return out
 
 
-def _apply_fused_yt(coded, A_p, U_p, CZ: int, TY: int, dots_w=None):
-    """pallas_call wiring for the y-tiled fused kernel (TY < NYp)."""
-    nz, ny, nx = coded.shape_zyx
-    NYp, NXp = coded.padded_yx
-    nk = -(-nz // CZ)
+def _halo_rows_a(A_p, TY, NXp, dt_):
+    """Cross-tile A boundary rows: (3, nzp, 8*nyt, NXp) with 2 live rows
+    per tile group [row jy*TY-1, row (jy+1)*TY], zero at the outer tiles
+    and in the 6-row pad to the sublane granule (Mosaic requires block
+    sublane dims divisible by 8)."""
+    nzp = A_p.shape[1]
+    NYp = A_p.shape[2]
     nyt = NYp // TY
-    dt_ = A_p.dtype
-
-    # pre-extract the cross-tile boundary rows into interleaved side
-    # arrays (ha: 2 A-rows per tile, hu: 4 U-rows, each group zero-padded
-    # to the sublane granule of 8 — Mosaic requires block sublane dims
-    # divisible by 8); reading these as tiny per-step blocks keeps each
-    # bulk operand streaming once, instead of 3x for whole jy±1 neighbor
-    # blocks.  Zero rows at the outer tiles.
-    zA = jnp.zeros((3, nz, 1, NXp), dt_)
+    zA = jnp.zeros((3, nzp, 1, NXp), dt_)
     a_m = jnp.concatenate([zA, A_p[:, :, TY - 1::TY][:, :, :nyt - 1]], 2)
     a_p = jnp.concatenate([A_p[:, :, TY::TY], zA], 2)
-    haz = jnp.zeros((3, nz, nyt, 6, NXp), dt_)
-    ha = jnp.concatenate(
+    haz = jnp.zeros((3, nzp, nyt, 6, NXp), dt_)
+    return jnp.concatenate(
         [jnp.stack([a_m, a_p], axis=3), haz], axis=3
-    ).reshape(3, nz, 8 * nyt, NXp)
-    zU = jnp.zeros((nz, 1, NXp), dt_)
-    u_m2 = jnp.concatenate([zU, U_p[:, TY - 2::TY][:, :nyt - 1]], 1)
-    u_m1 = jnp.concatenate([zU, U_p[:, TY - 1::TY][:, :nyt - 1]], 1)
-    u_p1 = jnp.concatenate([U_p[:, TY::TY], zU], 1)
-    u_p2 = jnp.concatenate([U_p[:, TY + 1::TY], zU], 1)
-    huz = jnp.zeros((nz, nyt, 4, NXp), dt_)
-    hu = jnp.concatenate(
-        [jnp.stack([u_m2, u_m1, u_p1, u_p2], axis=2), huz], axis=2
-    ).reshape(nz, 8 * nyt, NXp)
+    ).reshape(3, nzp, 8 * nyt, NXp)
 
-    a_chunk = pl.BlockSpec(
-        (3, CZ, TY, NXp), ps._i32map(lambda k, j: (0, k, j, 0)),
-        memory_space=pltpu.VMEM)
-    u_chunk = pl.BlockSpec(
-        (CZ, TY, NXp), ps._i32map(lambda k, j: (k, j, 0)),
-        memory_space=pltpu.VMEM)
-    ha_spec = pl.BlockSpec(
-        (3, CZ, 8, NXp), ps._i32map(lambda k, j: (0, k, j, 0)),
-        memory_space=pltpu.VMEM)
-    hu_spec = pl.BlockSpec(
-        (CZ, 8, NXp), ps._i32map(lambda k, j: (k, j, 0)),
-        memory_space=pltpu.VMEM)
-    a_plane = lambda fk: pl.BlockSpec(
-        (3, 1, TY, NXp),
-        ps._i32map(lambda k, j: (0, ps._clamp(fk(k), nz), j, 0)),
-        memory_space=pltpu.VMEM)
-    u_plane = lambda fk: pl.BlockSpec(
-        (1, TY, NXp),
-        ps._i32map(lambda k, j: (ps._clamp(fk(k), nz), j, 0)),
-        memory_space=pltpu.VMEM)
-    in_specs = [
-        a_plane(lambda k: k * CZ - 1),
-        a_plane(lambda k: (k + 1) * CZ),
-        ha_spec,
-        a_chunk,
-        u_plane(lambda k: k * CZ - 2),
-        u_plane(lambda k: k * CZ - 1),
-        u_plane(lambda k: (k + 1) * CZ),
-        u_plane(lambda k: (k + 1) * CZ + 1),
-        hu_spec,
-        u_chunk,
-        u_chunk,                       # code (int32)
-        u_chunk,                       # cf
-    ]
-    args = [A_p, A_p, ha, A_p, U_p, U_p, U_p, U_p, hu, U_p,
-            coded.code_p, coded.cf_p]
-    if coded.has_conv:
-        in_specs.append(a_chunk)
-        args.append(coded.conv_p)
-    out_specs = [a_chunk, u_chunk]
-    out_shape = [jax.ShapeDtypeStruct(A_p.shape, A_p.dtype),
-                 jax.ShapeDtypeStruct(U_p.shape, U_p.dtype)]
-    if dots_w is not None:
-        in_specs += [a_chunk, u_chunk]
-        args += [dots_w[0], dots_w[1]]
-        out_specs.append(pl.BlockSpec(
+
+def _halo_rows_u(U_c, TY, NXp, dt_):
+    """Cross-tile U boundary rows of the compact-U array: (nzc, 8*nyt,
+    NXp) with 4 live rows per tile group [jy*TY-2, jy*TY-1, (jy+1)*TY,
+    (jy+1)*TY+1]."""
+    nzc = U_c.shape[0]
+    NYp = U_c.shape[1]
+    nyt = NYp // TY
+    zU = jnp.zeros((nzc, 1, NXp), dt_)
+    u_m2 = jnp.concatenate([zU, U_c[:, TY - 2::TY][:, :nyt - 1]], 1)
+    u_m1 = jnp.concatenate([zU, U_c[:, TY - 1::TY][:, :nyt - 1]], 1)
+    u_p1 = jnp.concatenate([U_c[:, TY::TY], zU], 1)
+    u_p2 = jnp.concatenate([U_c[:, TY + 1::TY], zU], 1)
+    huz = jnp.zeros((nzc, nyt, 4, NXp), dt_)
+    return jnp.concatenate(
+        [jnp.stack([u_m2, u_m1, u_p1, u_p2], axis=2), huz], axis=2
+    ).reshape(nzc, 8 * nyt, NXp)
+
+
+def _apply_fused_yt(coded, A_p, U_c, dots_w=None, div_only=False):
+    """Split-kernel wiring for the y-tiled (256³-class) path: the stencil
+    kernel over every chunk, the slab kernel over the conductor chunks,
+    the slab's A planes spliced over the stencil output.  ``U_c`` is the
+    z-COMPACT U (planes [uz0, uz0+nzc), see :class:`YtPlan`); returns
+    (yA_full, yU_compact[, dot(y,w), dot(y,y)]).  ``div_only`` skips the
+    stencil kernel and returns only the compact U row (the apply_div
+    contraction with U = 0)."""
+    plan = _yt_plan(coded)
+    TY, cza, czb, k0, k1, uz0, nzc = plan
+    nz, ny, nx = coded.shape_zyx
+    NYp, NXp = coded.padded_yx
+    nyt = NYp // TY
+    dt_ = A_p.dtype
+    with_dots = dots_w is not None
+
+    ha = _halo_rows_a(A_p, TY, NXp, dt_)
+    hu = _halo_rows_u(U_c, TY, NXp, dt_)
+    code_c = _zslice_pad(coded.code_p, uz0, nzc, 0, nz)
+    cf_c = _zslice_pad(coded.cf_p, uz0, nzc, 0, nz)
+    conv_c = (_zslice_pad(coded.conv_p, uz0, nzc, 1, nz)
+              if coded.has_conv else None)
+
+    def a_chunk(cz, off=0):
+        return pl.BlockSpec(
+            (3, cz, TY, NXp), ps._i32map(lambda k, j: (0, k + off, j, 0)),
+            memory_space=pltpu.VMEM)
+
+    def u_chunk(cz, off=0):
+        return pl.BlockSpec(
+            (cz, TY, NXp), ps._i32map(lambda k, j: (k + off, j, 0)),
+            memory_space=pltpu.VMEM)
+
+    def ha_spec(cz, off=0):
+        return pl.BlockSpec(
+            (3, cz, 8, NXp), ps._i32map(lambda k, j: (0, k + off, j, 0)),
+            memory_space=pltpu.VMEM)
+
+    def hu_spec(cz):
+        return pl.BlockSpec(
+            (cz, 8, NXp), ps._i32map(lambda k, j: (k, j, 0)),
+            memory_space=pltpu.VMEM)
+
+    def a_plane(fk, n):
+        return pl.BlockSpec(
+            (3, 1, TY, NXp),
+            ps._i32map(lambda k, j: (0, ps._clamp(fk(k), n), j, 0)),
+            memory_space=pltpu.VMEM)
+
+    def u_plane(fk, n):
+        return pl.BlockSpec(
+            (1, TY, NXp),
+            ps._i32map(lambda k, j: (ps._clamp(fk(k), n), j, 0)),
+            memory_space=pltpu.VMEM)
+
+    def dots_spec():
+        return pl.BlockSpec(
             (1, 1, 1, 2), ps._i32map(lambda k, j: (k, j, 0, 0)),
-            memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nk, nyt, 1, 2), A_p.dtype))
-    return pl.pallas_call(
-        partial(_fused_kernel_chunk_yt, nx, ny, nz, CZ, TY, coded.cond_z,
+            memory_space=pltpu.SMEM)
+
+    # ---- stencil kernel: every chunk, A streams only ----
+    if not div_only:
+        nka = -(-nz // cza)
+        in_specs = [
+            a_plane(lambda k: k * cza - 1, nz),
+            a_plane(lambda k: (k + 1) * cza, nz),
+            ha_spec(cza),
+            a_chunk(cza),
+        ]
+        args = [A_p, A_p, ha, A_p]
+        out_specs = [a_chunk(cza)]
+        out_shape = [jax.ShapeDtypeStruct(A_p.shape, dt_)]
+        if with_dots:
+            in_specs.append(a_chunk(cza))
+            args.append(dots_w[0])
+            out_specs.append(dots_spec())
+            out_shape.append(jax.ShapeDtypeStruct((nka, nyt, 1, 2), dt_))
+        base = pl.pallas_call(
+            partial(_stencil_kernel_yt, nx, ny, nz, cza, TY,
+                    (uz0, uz0 + nzc), coded.consts, with_dots),
+            grid=(nka, nyt),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            interpret=ps.INTERPRET,
+        )(*args)
+        if with_dots:
+            base, dots_a = base
+        else:
+            (base,) = base
+    else:
+        base = A_p                   # contents irrelevant: yA discarded
+
+    # ---- slab kernel: conductor chunks only, compact U ----
+    nkb = k1 - k0
+    in_specs = [
+        a_chunk(czb, off=k0),                      # yb (stencil output)
+        a_plane(lambda k: (k + k0) * czb - 1, nz),
+        a_plane(lambda k: (k + k0 + 1) * czb, nz),
+        ha_spec(czb, off=k0),
+        a_chunk(czb, off=k0),                      # A chunk
+        u_plane(lambda k: k * czb - 2, nzc),
+        u_plane(lambda k: k * czb - 1, nzc),
+        u_plane(lambda k: (k + 1) * czb, nzc),
+        u_plane(lambda k: (k + 1) * czb + 1, nzc),
+        hu_spec(czb),
+        u_chunk(czb),
+        u_chunk(czb),                              # code (int32)
+        u_chunk(czb),                              # cf
+    ]
+    args = [base, A_p, A_p, ha, A_p, U_c, U_c, U_c, U_c, hu, U_c,
+            code_c, cf_c]
+    if coded.has_conv:
+        in_specs.append(a_chunk(czb))
+        args.append(conv_c)
+    out_specs = [a_chunk(czb), u_chunk(czb)]
+    out_shape = [jax.ShapeDtypeStruct((3, nzc, NYp, NXp), dt_),
+                 jax.ShapeDtypeStruct((nzc, NYp, NXp), dt_)]
+    if with_dots:
+        in_specs += [a_chunk(czb, off=k0), u_chunk(czb)]
+        args += [dots_w[0], dots_w[1]]
+        out_specs.append(dots_spec())
+        out_shape.append(jax.ShapeDtypeStruct((nkb, nyt, 1, 2), dt_))
+    out = pl.pallas_call(
+        partial(_slab_kernel_yt, nx, ny, nz, czb, TY, k0, uz0, nzc,
                 coded.consts, coded.inertia_on_faces, coded.has_conv,
-                dots_w is not None),
-        grid=(nk, nyt),
+                with_dots),
+        grid=(nkb, nyt),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=ps.INTERPRET,
     )(*args)
+    if with_dots:
+        slab_a, yU_c, dots_b = out
+    else:
+        slab_a, yU_c = out
+    if div_only:
+        return yU_c
+
+    n_keep = min(nzc, nz - uz0)
+    yA = jax.lax.dynamic_update_slice(base, slab_a[:, :n_keep],
+                                      (0, uz0, 0, 0))
+    if with_dots:
+        pw = jnp.sum(dots_a[..., 0]) + jnp.sum(dots_b[..., 0])
+        py = jnp.sum(dots_a[..., 1]) + jnp.sum(dots_b[..., 1])
+        return yA, yU_c, pw, py
+    return yA, yU_c
 
 
 def _apply_fused(coded, A_p, U_p, CZ: int = 0, dots_w=None):
     nz, ny, nx = coded.shape_zyx
     NYp, NXp = coded.padded_yx
-    whole_ok = ((19 + (3 if coded.has_conv else 0)) * NYp * NXp * 4
-                <= _WHOLE_PLANE_BUDGET)
-    if not whole_ok:
-        # y-tiled path for 256³-class planes: revolving blocks per
-        # (z-chunk-plane, y-tile) grid step are A in 3 + out 3, U in 1 +
-        # out 1, code 1, cf 1 [+conv 3] (plus fixed z-neighbor planes and
-        # the tiny halo-row blocks).  TY trades z-restreaming (each
-        # operand moves ~(CZ+2)/CZ times; bigger CZ needs smaller tiles)
-        # against halo-row overhead (~3/TY extra traffic): minimize the
-        # modeled total over the proper sub-multiples of NYp.
-        sub = _SUB
-        nblk = 13 if coded.has_conv else 10
-        best = None
-        for t in range(sub, NYp, sub):
-            if NYp % t:
-                continue
-            cz = int(max(1, min(8, _CHUNK_BUDGET // (nblk * t * NXp * 4))))
-            cost = (cz + 2) / cz + 3.0 / t
-            if best is None or cost < best[0]:
-                best = (cost, t, cz)
-        if best is not None:
-            _, TY, CZy = best
-            return _apply_fused_yt(coded, A_p, U_p, CZ if CZ > 0 else CZy,
-                                   TY, dots_w=dots_w)
-        # NYp == sub: nothing to tile — fall through (whole-plane)
+    plan = _yt_plan(coded)
+    if plan is not None:
+        # full-U-shape wrapper over the split compact kernels (the
+        # shard tier and the compact_u=False operator call this; the
+        # compact solve path calls _apply_fused_yt directly)
+        n_keep = min(plan.nzc, nz - plan.uz0)
+        compact = lambda U: _zslice_pad(U, plan.uz0, plan.nzc, 0, nz)
+        dw = ((dots_w[0], compact(dots_w[1])) if dots_w is not None
+              else None)
+        out = _apply_fused_yt(coded, A_p, compact(U_p), dots_w=dw)
+        yA, yU_c = out[:2]
+        if plan.uz0 == 0 and n_keep == nz:
+            yU = yU_c[:nz]           # slab covers the grid (shard tier)
+        else:
+            yU = jax.lax.dynamic_update_slice(
+                jnp.zeros_like(U_p), yU_c[:n_keep], (plan.uz0, 0, 0))
+        if dots_w is not None:
+            return yA, yU, jnp.stack(out[2:]).reshape(1, 2)
+        return yA, yU
     if CZ <= 0:
         # chunk depth bounded by a per-chunk in+out budget: 9 (+3 with
         # convection) full planes per chunk z-plane (A in/out 3+3, U in/out
@@ -881,43 +1139,84 @@ class CodedStencilOperator:
     consts: tuple = dc_field(metadata=dict(static=True), default=())
     inertia_on_faces: bool = dc_field(metadata=dict(static=True), default=False)
     has_conv: bool = dc_field(metadata=dict(static=True), default=False)
+    # z-compact U solver space on the y-tiled path (see YtPlan): U-space
+    # vectors carry only the conductor slab's chunk-aligned planes.  Off
+    # by default for direct constructions (the shard tier builds local
+    # operators whose callers expect full-shape U); from_assembled_coded
+    # turns it on unless the caller opts out (ilu0/mg factor layouts
+    # assume the full padded grid).
+    compact_u: bool = dc_field(metadata=dict(static=True), default=False)
 
     @property
     def padded_zyx(self):
         return (self.shape_zyx[0],) + self.padded_yx
 
+    def _uplan(self) -> Optional[YtPlan]:
+        """The compact-U plan when it is active for this operator."""
+        if not self.compact_u:
+            return None
+        return _yt_plan(self)
+
     def pad_state(self, x: State) -> State:
         nz, ny, nx = self.shape_zyx
         NYp, NXp = self.padded_yx
         pad = [(0, 0), (0, NYp - ny), (0, NXp - nx)]
-        return State(jnp.pad(x.A, [(0, 0)] + pad), jnp.pad(x.U, pad))
+        U_p = jnp.pad(x.U, pad)
+        plan = self._uplan()
+        if plan is not None:
+            U_p = _zslice_pad(U_p, plan.uz0, plan.nzc, 0, nz)
+        return State(jnp.pad(x.A, [(0, 0)] + pad), U_p)
 
     def unpad_state(self, x: State) -> State:
         nz, ny, nx = self.shape_zyx
-        return State(x.A[:, :, :ny, :nx], x.U[:, :ny, :nx])
+        A = x.A[:, :, :ny, :nx]
+        plan = self._uplan()
+        if plan is None:
+            return State(A, x.U[:, :ny, :nx])
+        n_keep = min(plan.nzc, nz - plan.uz0)
+        U = jax.lax.dynamic_update_slice(
+            jnp.zeros((nz, ny, nx), x.U.dtype),
+            x.U[:n_keep, :ny, :nx], (plan.uz0, 0, 0))
+        return State(A, U)
 
     def apply_div(self, A: jax.Array) -> jax.Array:
         """U-row div(dA/dt) contraction on the *unpadded* grid A (the
         per-step RHS term, EC3D.f90:385-392): the fused kernel with U = 0
         computes exactly the da contraction in its U output (once per
-        timestep; the discarded A output costs ~half of one matvec)."""
+        timestep).  On the y-tiled path only the slab kernel runs; on the
+        whole-plane path the discarded A output costs ~half a matvec."""
         nz, ny, nx = self.shape_zyx
         NYp, NXp = self.padded_yx
         A_p = jnp.pad(A, [(0, 0), (0, 0), (0, NYp - ny), (0, NXp - nx)])
+        plan = _yt_plan(self)
+        if plan is not None:
+            U0 = jnp.zeros((plan.nzc, NYp, NXp), A.dtype)
+            yU_c = _apply_fused_yt(self, A_p, U0, div_only=True)
+            n_keep = min(plan.nzc, nz - plan.uz0)
+            return jax.lax.dynamic_update_slice(
+                jnp.zeros((nz, ny, nx), A.dtype),
+                yU_c[:n_keep, :ny, :nx], (plan.uz0, 0, 0))
         U0 = jnp.zeros((nz, NYp, NXp), A.dtype)
         _, yU = _apply_fused(self, A_p, U0)
         return yU[:, :ny, :nx]
 
     def apply(self, x: State) -> State:
+        if self._uplan() is not None:
+            yA, yU = _apply_fused_yt(self, x.A, x.U)
+            return State(yA, yU)
         yA, yU = _apply_fused(self, x.A, x.U)
         return State(yA, yU)
 
     def apply_dots(self, x: State, w: State):
         """(y, dot(y, w), dot(y, y)) with both reductions fused into the
-        matvec kernel as per-grid-step SMEM partials — the solver's
+        matvec kernels as per-grid-step SMEM partials — the solver's
         separate reduction passes each re-read the full state, while here
         the values are already in registers.  Partials and their final
         sum are f32 (use the unfused path for dot_dtype runs)."""
+        if self._uplan() is not None:
+            yA, yU, pw, py = _apply_fused_yt(self, x.A, x.U,
+                                             dots_w=(w.A, w.U))
+            return State(yA, yU), pw, py
         yA, yU, parts = _apply_fused(self, x.A, x.U, dots_w=(w.A, w.U))
         flat = parts.reshape(-1, 2)
         return State(yA, yU), jnp.sum(flat[:, 0]), jnp.sum(flat[:, 1])

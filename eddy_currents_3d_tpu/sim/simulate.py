@@ -258,7 +258,11 @@ class Simulation:
         from ..ops.pallas_coded import CodedUnsupported, from_assembled_coded
         if (use_coded is None or use_coded) and coded_single_ok:
             try:
-                self.coded_op = from_assembled_coded(self.system, model)
+                # z-compact U solver space on the y-tiled path; ilu0's
+                # factor layout assumes the full padded grid, so it keeps
+                # full-shape U (mg is already excluded from coded)
+                self.coded_op = from_assembled_coded(
+                    self.system, model, compact_u=(precond != "ilu0"))
             except CodedUnsupported:
                 if use_coded:
                     raise

@@ -114,6 +114,7 @@ def test_ytiled_kernel(rng, monkeypatch):
     from eddy_currents_3d_tpu.ops import pallas_coded as pc
 
     monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    monkeypatch.setattr(pc, "_YT_BLOCK_BUDGET", 150_000)  # force TY < NYp
     # ny = 18 -> NYp = 24 pads to three 8-row tiles; conductor spans tiles
     model = load_case(case_static(shape_xyz=(18, 18, 12), steps=2))
     _check_case(model, rng)
@@ -125,6 +126,7 @@ def test_ytiled_kernel_convection(rng, monkeypatch):
     from eddy_currents_3d_tpu.ops import pallas_coded as pc
 
     monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    monkeypatch.setattr(pc, "_YT_BLOCK_BUDGET", 150_000)  # force TY < NYp
     model = load_case(case_convection(shape_xyz=(20, 18, 10), steps=2))
     coded = _check_case(model, rng)
     assert coded.has_conv
@@ -136,7 +138,8 @@ def test_ytiled_kernel_chunk_depth(rng, monkeypatch):
     from eddy_currents_3d_tpu.ops import pallas_coded as pc
 
     monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
-    monkeypatch.setattr(pc, "_CHUNK_BUDGET", 10**9)
+    # 250k: TY = 8 tiles AND czb = 2 (y-stitching + in-chunk z planes)
+    monkeypatch.setattr(pc, "_YT_BLOCK_BUDGET", 250_000)
     model = load_case(case_static(shape_xyz=(18, 18, 14), steps=2))
     _check_case(model, rng)
 
@@ -265,6 +268,7 @@ def _check_apply_dots(model, rng, monkeypatch=None, force_ytiled=False):
 
     if force_ytiled:
         monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+        monkeypatch.setattr(pc, "_YT_BLOCK_BUDGET", 150_000)
     sysm = assemble_operator(model, jnp.float32)
     coded = from_assembled_coded(sysm, model)
     x = coded.pad_state(_rand_state(model, sysm, rng))
@@ -277,8 +281,14 @@ def _check_apply_dots(model, rng, monkeypatch=None, force_ytiled=False):
         y_ref = jax.jit(coded.apply)(x)
     finally:
         ps.INTERPRET = prev
-    np.testing.assert_array_equal(np.asarray(y.A), np.asarray(y_ref.A))
-    np.testing.assert_array_equal(np.asarray(y.U), np.asarray(y_ref.U))
+    # y agrees with apply() to FMA-reassociation tolerance, not bitwise:
+    # the extra dot consumers change the compiler's fusion groupings of
+    # the same stencil expression (measured max rel diff ~5e-5 on the
+    # per-plane y-tiled kernel; zeros stay exact on both paths)
+    np.testing.assert_allclose(np.asarray(y.A), np.asarray(y_ref.A),
+                               rtol=2e-4, atol=0.0)
+    np.testing.assert_allclose(np.asarray(y.U), np.asarray(y_ref.U),
+                               rtol=2e-4, atol=0.0)
     ref_w = float(np.vdot(np.asarray(y.A, np.float64), np.asarray(w.A, np.float64))
                   + np.vdot(np.asarray(y.U, np.float64), np.asarray(w.U, np.float64)))
     ref_y = float(np.vdot(np.asarray(y.A, np.float64), np.asarray(y.A, np.float64))
