@@ -259,6 +259,16 @@ def run_roofline(args) -> int:
         bound_gbps=round(bound_bw / 1e9, 1),
         bytes_mv=int(bytes_mv),
         backend=jax.devices()[0].platform,
+        **({"excess_note": (
+            "pct > 100 means the traffic MODEL divided by wall time "
+            "exceeds the nominal-HBM bound; the residual excess is "
+            "bounded by the model's revolving-window z-neighbor-plane "
+            "term (~15% of modeled bytes on TEAM7, re-fetched planes "
+            "the pipeliner may coalesce with adjacent chunk fetches) "
+            "and by read-heavy mixes exceeding the symmetric-spec "
+            "number — the kernel is at the streaming limit either "
+            "way, the uncertainty is which accounting of it")}
+           if pct > 100.0 else {}),
     )
 
 
