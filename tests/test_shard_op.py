@@ -331,6 +331,21 @@ def test_coded_sharded_tiny_slabs(rng):
     _assert_close(y_ref, y_sh)
 
 
+def test_coded_sharded_ytiled_wrapper(rng, monkeypatch):
+    """Per-shard coded kernels through the y-tiled split-kernel wrapper
+    (256³-class planes per shard): the shard tier calls _apply_fused with
+    full-shape U and a slab covering the whole local grid — the
+    degenerate compact plan (uz0=0, nzc >= NZl, czb possibly not
+    dividing NZl) must embed back exactly."""
+    from eddy_currents_3d_tpu.ops import pallas_coded as pc
+
+    monkeypatch.setattr(pc, "_WHOLE_PLANE_BUDGET", 0)
+    monkeypatch.setattr(pc, "_YT_BLOCK_BUDGET", 150_000)  # TY < NYp
+    model = load_case(case_static(shape_xyz=(18, 18, 14), steps=2))
+    y_ref, y_sh, sop, _ = _coded_pair(model, rng, mesh_z=4)
+    _assert_close(y_ref, y_sh)
+
+
 def test_coded_sharded_convection(rng):
     """Moving conductor: the conv stream's z-ghost corrections."""
     model = load_case(case_convection(shape_xyz=(16, 12, 12), steps=2))
