@@ -150,11 +150,15 @@ def test_scale256_class_accepted():
     Construction only — the full-grid matvec runs on TPU in bench."""
     from eddy_currents_3d_tpu.ops import pallas_coded as pc
 
-    model = load_case(case_static(shape_xyz=(256, 256, 8), steps=2))
-    sysm = assemble_operator(model, jnp.float32)
-    coded = from_assembled_coded(sysm, model)
-    NYp, NXp = coded.padded_yx
-    assert (19 * NYp * NXp * 4) > pc._WHOLE_PLANE_BUDGET  # y-tiled class
+    for shape in ((256, 256, 8), (512, 512, 8)):
+        model = load_case(case_static(shape_xyz=shape, steps=2))
+        sysm = assemble_operator(model, jnp.float32)
+        coded = from_assembled_coded(sysm, model)
+        NYp, NXp = coded.padded_yx
+        assert (19 * NYp * NXp * 4) > pc._WHOLE_PLANE_BUDGET  # y-tiled
+        plan = pc._yt_plan(coded)
+        assert plan is not None and NYp % plan.TY == 0
+        assert plan.cza >= 1 and plan.czb >= 1
 
 
 def test_custom_bnd_multipliers(rng):
